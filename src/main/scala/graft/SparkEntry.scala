@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Central registry: each operator category contributes a
+  * (queries, oracles) pair; keys are SURVEY.md §2.1 inventory names.
+  */
 object SparkEntry {
+
+  private val registry: Seq[(Map[String, Q], Map[String, String])] = Seq(
+    (operators.Aggregates.queries, operators.Aggregates.oracles)
+  )
+
+  /** One entry per implemented operator from SURVEY.md §2. */
+  val queries: Map[String, Q] =
+    registry.iterator.map(_._1).reduce(_ ++ _)
+
+  /** DuckDB-runnable twin for each oracle-checked query. Keys absent
+    * here (but present in `queries`) get the weaker rows-only check. */
+  val oracleSql: Map[String, String] =
+    registry.iterator.map(_._2).reduce(_ ++ _)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("agg_pricing_summary")(spark, "/root/testdata/sf0.001")
 }
