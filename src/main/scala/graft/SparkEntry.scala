@@ -10,7 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val registry: Seq[(Map[String, Q], Map[String, String])] = Seq(
-    (operators.Aggregates.queries, operators.Aggregates.oracles)
+    (operators.Scans.queries, operators.Scans.oracles),
+    (operators.Filters.queries, operators.Filters.oracles),
+    (operators.Joins.queries, operators.Joins.oracles),
+    (operators.Aggregates.queries, operators.Aggregates.oracles),
+    (operators.SetsSorts.queries, operators.SetsSorts.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   * All aggregates are declarative groupBy/agg: Spark plans them as
   * partial (map-side) + final HashAggregate, so at 100 TB each is a
   * single shuffle keyed by the (low-cardinality) group columns.
-  * Double sums are rounded per SURVEY §2.0 rule 2 for oracle parity.
+  * Double sums are rounded per SURVEY §2.0 rule 2 for oracle parity;
+  * rollup/cube null-producing groups get explicit NULLS FIRST ordering
+  * on both engines (defaults differ).
   */
 object Aggregates {
 
   val queries: Map[String, Q] = Map(
     // TPC-H Q1-style pricing summary: multi-aggregate groupBy under a
     // pushed-down shipdate filter. The canonical partial+final agg.
-    "agg_pricing_summary" -> ((s, d) => {
+    "agg_pricing_summary" -> ((s, d) =>
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -30,8 +32,111 @@ object Aggregates {
           round(avg("l_extendedprice"), 4).as("avg_price"),
           round(avg("l_discount"), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
-    })
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Post-aggregation filter (HAVING).
+    "agg_having" -> ((s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          round(avg("c_acctbal"), 2).as("avg_bal"))
+        .filter(col("n_customers") > 290)
+        .orderBy("c_mktsegment")),
+
+    // Exact COUNT(DISTINCT): expands to a two-phase distinct agg.
+    "agg_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
+    // Two DISTINCT aggregates in one operator (expand + double shuffle).
+    "agg_multi_distinct" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(countDistinct("source").as("n_sources"),
+          countDistinct("n_chars").as("n_lengths"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")),
+
+    // HLL-sketch distinct: single-pass, mergeable at any parallelism —
+    // the 100 TB answer when exactness isn't required. No oracle (HLL
+    // implementations differ); agg_distinct is the exact twin.
+    "agg_approx_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct("user_id").as("approx_users"))
+        .orderBy("event_type")),
+
+    // ROLLUP: hierarchy subtotals, null-padded grouping columns.
+    // ROLLUP after a join trips Spark 4.1's ambiguous-self-join
+    // detection in the DataFrame API (rollup duplicates grouping refs
+    // internally); the SQL form plans identically and cleanly.
+    "agg_rollup" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_ru")
+      Tables.customer(s, d).createOrReplaceTempView("customer_ru")
+      s.sql(
+        """SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+          | round(sum(o_totalprice), 2) AS total_price
+          |FROM orders_ru JOIN customer_ru ON o_custkey = c_custkey
+          |GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+          |ORDER BY c_mktsegment ASC NULLS FIRST,
+          |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // CUBE: all grouping combinations.
+    "agg_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // Explicit GROUPING SETS (SQL-only surface in Spark).
+    "agg_grouping_sets" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("documents_gs")
+      s.sql(
+        """SELECT lang, source, count(*) AS n_docs,
+          | round(avg(n_chars), 2) AS avg_chars
+          |FROM documents_gs
+          |GROUP BY GROUPING SETS ((lang), (source), ())
+          |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // Statistical aggregates: stddev/variance/corr/covar.
+    "agg_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_extendedprice"), col("l_quantity")), 4).as("corr_pq"),
+          round(covar_samp(col("l_extendedprice"), col("l_quantity")), 2)
+            .as("covar_pq"))
+        .orderBy("l_returnflag")),
+
+    // argmin/argmax: the order that maximizes/minimizes a measure.
+    "agg_minmax_by" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy((col("o_custkey") % 10).as("cust_bucket"))
+        .agg(
+          max_by(col("o_orderkey"), col("o_totalprice")).as("biggest_order"),
+          min_by(col("o_orderkey"), col("o_totalprice")).as("smallest_order"),
+          round(max("o_totalprice"), 2).as("max_price"))
+        .orderBy("cust_bucket")),
+
+    // Exact quantiles (interpolating): percentile == quantile_cont.
+    "agg_median_quantile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("price_p90"))
+        .orderBy("l_returnflag"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -48,6 +153,68 @@ object Aggregates {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_having" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        | round(avg(c_acctbal), 2) AS avg_bal
+        |FROM customer GROUP BY c_mktsegment
+        |HAVING count(*) > 290 ORDER BY c_mktsegment""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        | count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_multi_distinct" ->
+      """SELECT lang, count(DISTINCT source) AS n_sources,
+        | count(DISTINCT n_chars) AS n_lengths, count(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+        |ORDER BY c_mktsegment ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |         l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        | round(avg(n_chars), 2) AS avg_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang), (source), ())
+        |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity), 4) AS sd_qty,
+        | round(var_samp(l_quantity), 4) AS var_qty,
+        | round(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
+        | round(covar_samp(l_extendedprice, l_quantity), 2) AS covar_pq
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_minmax_by" ->
+      """SELECT o_custkey % 10 AS cust_bucket,
+        | max_by(o_orderkey, o_totalprice) AS biggest_order,
+        | min_by(o_orderkey, o_totalprice) AS smallest_order,
+        | round(max(o_totalprice), 2) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY cust_bucket""".stripMargin,
+
+    "agg_median_quantile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        | round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -1,0 +1,217 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Category C — joins, every flavor (SURVEY.md §2.1.C).
+  *
+  * Scale notes (100 TB): equi-joins shuffle both sides on the key
+  * unless one side is broadcast — dims (region/nation/part/customer)
+  * are broadcast-size even at SF 100k, so `join_broadcast` pins that
+  * strategy explicitly and the others leave Catalyst/AQE free to pick
+  * it. The theta/as-of self-joins are equi on the entity id with a
+  * range residual: Spark plans SMJ partitioned by user_id, so state is
+  * bounded per key and never O(n²) globally.
+  */
+object Joins {
+
+  val queries: Map[String, Q] = Map(
+    // Equi inner join + aggregate: orders x customer -> per-segment totals.
+    "join_inner" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total_price"))
+        .orderBy("c_mktsegment")),
+
+    // Same semantics, physical strategy pinned: broadcast the dim side.
+    "join_broadcast" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("p_brand")),
+
+    // Left outer: every customer, order count may be 0.
+    "join_left_outer" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spend"))
+        .orderBy("c_custkey")),
+
+    // Full outer: part usage, padded on both sides.
+    "join_full_outer" -> ((s, d) => {
+      val usage = Tables.lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_li"), round(sum("l_quantity"), 2).as("qty"))
+      Tables.part(s, d)
+        .join(usage, col("p_partkey") === col("l_partkey"), "full_outer")
+        .select(
+          coalesce(col("p_partkey"), col("l_partkey")).as("partkey"),
+          col("p_name"),
+          coalesce(col("n_li"), lit(0L)).as("n_li"),
+          coalesce(col("qty"), lit(0.0)).as("qty"))
+        .orderBy("partkey")
+    }),
+
+    // Semi join (EXISTS): customers having a >400k order.
+    "join_semi" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // Anti join (NOT EXISTS): customers with no URGENT order.
+    "join_anti" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // Bounded cartesian product.
+    "join_cross" -> ((s, d) =>
+      Tables.region(s, d)
+        .crossJoin(Tables.nation(s, d).filter(col("n_nationkey") < 5))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")),
+
+    // Theta/range self-join: same-user event pairs within 60 s,
+    // different types. Equi on user_id + range residual keeps it
+    // O(pairs-per-user), never a global cross product.
+    "join_theta_range" -> ((s, d) => {
+      val e = Tables.events(s, d).select("user_id", "ts", "event_type")
+      e.alias("a")
+        .join(e.alias("b"),
+          col("a.user_id") === col("b.user_id")
+            && col("a.ts") < col("b.ts")
+            && col("b.ts") <= col("a.ts") + expr("INTERVAL 60 SECONDS")
+            && col("a.event_type") =!= col("b.event_type"))
+        .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    // As-of join: each purchase -> most recent prior click of the same
+    // user (AIS analog: position -> last port call). Spark has no
+    // native as-of: equi on user + time bound, keep latest via
+    // row_number. Window is partitioned by purchase, so state is
+    // bounded per key at scale.
+    "join_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      val w = Window.partitionBy("purchase_id")
+        .orderBy(col("c_ts").desc, col("click_id").desc)
+      p.join(c, col("user_id") === col("c_user") && col("c_ts") <= col("p_ts"),
+          "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("purchase_id", "click_id")
+        .orderBy("purchase_id")
+    }),
+
+    // Multi-join pipeline (TPC-H Q5-ish): revenue by nation in ASIA.
+    "join_5way" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_inner" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "join_broadcast" ->
+      """SELECT p_brand, count(*) AS n_items,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "join_left_outer" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+        | round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+
+    "join_full_outer" ->
+      """SELECT coalesce(p_partkey, l_partkey) AS partkey, p_name,
+        | coalesce(n_li, 0) AS n_li, coalesce(qty, 0.0) AS qty
+        |FROM part FULL OUTER JOIN (
+        |  SELECT l_partkey, count(*) AS n_li, round(sum(l_quantity), 2) AS qty
+        |  FROM lineitem GROUP BY l_partkey
+        |) u ON p_partkey = l_partkey
+        |ORDER BY partkey""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_cross" ->
+      """SELECT r_name, n_name
+        |FROM region CROSS JOIN (SELECT * FROM nation WHERE n_nationkey < 5) n
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "join_theta_range" ->
+      """SELECT a.event_type AS type_a, b.event_type AS type_b,
+        | count(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.ts < b.ts
+        |  AND b.ts <= a.ts + INTERVAL 60 SECOND
+        |  AND a.event_type <> b.event_type
+        |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin,
+
+    "join_asof" ->
+      """SELECT purchase_id, click_id FROM (
+        |  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |                       ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |) t WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+
+    "join_5way" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin
+  )
+}
