@@ -14,7 +14,9 @@ object SparkEntry {
     (operators.Filters.queries, operators.Filters.oracles),
     (operators.Joins.queries, operators.Joins.oracles),
     (operators.Aggregates.queries, operators.Aggregates.oracles),
-    (operators.SetsSorts.queries, operators.SetsSorts.oracles)
+    (operators.SetsSorts.queries, operators.SetsSorts.oracles),
+    (operators.Windows.queries, operators.Windows.oracles),
+    (operators.EventOps.queries, operators.EventOps.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Category H — event-stream analytics, batch twins (SURVEY.md §2.1.H).
+  *
+  * The AIS-domain core: tumbling/sliding time buckets, gap-based
+  * sessionization (voyage segmentation), watermark-style late-data
+  * filtering, keep-first dedup. Each is a deterministic batch
+  * DataFrame op declared against the oracle; graft.streaming.Streams
+  * exposes the same transformations over readStream with watermarks.
+  *
+  * Scale: every op shuffles once on (entity, bucket) keys; session
+  * state is per-user (windowed), never global.
+  */
+object EventOps {
+
+  val queries: Map[String, Q] = Map(
+    // 1-hour tumbling counts + sums per event type.
+    "stream_tumbling" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .orderBy("bucket", "event_type")),
+
+    // 1-hour windows sliding every 15 min (each event covered by 4).
+    // Spark's window() is epoch-aligned; the oracle reproduces the
+    // same alignment with integer microsecond arithmetic.
+    "stream_sliding" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy("w_start", "event_type")),
+
+    // 30-min-gap sessionization per user — the ShippingLanes transit
+    // op: lag -> gap flag -> running-sum session id -> per-session agg.
+    "stream_session" -> ((s, d) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull
+            || unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+               > 1800L * 1000000L, 1).otherwise(0))
+        .withColumn("session_id", sum("new_sess").over(wRun))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("t_start"), max("ts").as("t_end"),
+          round(sum("value"), 2).as("total_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // Watermark semantics in batch: drop events older than max(ts)-7d.
+    // The max is a 1-row broadcast, not a driver-side collect.
+    "stream_late_filter" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val mx = ev.agg(max("ts").as("mx"))
+      ev.crossJoin(broadcast(mx))
+        .filter(col("ts") >= col("mx") - expr("INTERVAL 7 DAYS"))
+        .select("event_id", "ts", "event_type")
+        .orderBy("event_id")
+    }),
+
+    // Keep-first dedup by (user, type): deterministic survivor pick.
+    "stream_dedup" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id", "ts")
+        .orderBy("user_id", "event_type")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS bucket, event_type,
+        | count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
+    "stream_sliding" ->
+      """SELECT make_timestamp(s) AS w_start, event_type,
+        | count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM (
+        |  SELECT e.*,
+        |    (epoch_us(ts) // 900000000) * 900000000 - k.k * 900000000 AS s
+        |  FROM events e
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+        |  WHERE epoch_us(ts) >= s AND epoch_us(ts) < s + 3600000000
+        |) t GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "stream_session" ->
+      """SELECT user_id, session_id, count(*) AS n_events,
+        | min(ts) AS t_start, max(ts) AS t_end,
+        | round(sum(value), 2) AS total_value
+        |FROM (
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_id
+        |  FROM (
+        |    SELECT *, CASE WHEN prev_ts IS NULL
+        |        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |    FROM (
+        |      SELECT *, lag(ts) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS prev_ts
+        |      FROM events) a
+        |  ) b
+        |) c
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "stream_late_filter" ->
+      """SELECT event_id, ts, event_type FROM events
+        |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+        |ORDER BY event_id""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT user_id, event_type, event_id, ts FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |) t WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+  )
+}

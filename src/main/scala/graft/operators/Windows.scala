@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Category E — window functions (SURVEY.md §2.1.E).
+  *
+  * Every window is partitioned by an entity key (custkey / user_id /
+  * brand), so state at 100 TB is bounded per key and the shuffle is a
+  * single hash partition on that key — no global sort. Frames are
+  * explicit; window ORDER BYs always carry a unique tiebreak column
+  * so results are deterministic across engines.
+  */
+object Windows {
+
+  val queries: Map[String, Q] = Map(
+    // row_number / rank / dense_rank: top-3 latest orders per customer.
+    "window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rk", rank().over(w))
+        .withColumn("drk", dense_rank().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn", "rk", "drk")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // lag/lead offsets: inter-event gap + next event type per user.
+    "window_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+            .as("gap_us"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .orderBy("event_id")
+    }),
+
+    // Cumulative frame: running per-user value total.
+    "window_running" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          round(sum("value").over(w), 2).as("run_sum"))
+        .orderBy("event_id")
+    }),
+
+    // Sliding row frame: 4-row moving average (avg of <=4 2dp values
+    // has <=4 decimal digits, so round(4) is an exact grid recovery).
+    "window_moving" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          round(avg("value").over(w), 4).as("mov_avg"))
+        .orderBy("event_id")
+    }),
+
+    // RANGE frame over numeric order: trailing 1-hour value total,
+    // keyed on epoch seconds (integer — interval RANGE frames differ
+    // across dialects, integer frames are portable).
+    "window_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_sec")
+        .rangeBetween(-3600, 0)
+      Tables.events(s, d)
+        .withColumn("ts_sec", col("ts").cast("long"))
+        .select(col("user_id"), col("event_id"), col("ts_sec"),
+          round(sum("value").over(w), 2).as("w_sum"))
+        .orderBy("event_id")
+    }),
+
+    // ntile: quartile bucketing of customers by balance.
+    "window_ntile" -> ((s, d) => {
+      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).as("bal_quartile"))
+        .orderBy("c_custkey")
+    }),
+
+    // first/last_value over the full partition frame.
+    "window_first_last" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select(col("user_id"),
+          first("event_type").over(w).as("first_type"),
+          last("event_type").over(w).as("last_type"),
+          count(lit(1)).over(w).as("n_events"))
+        .distinct()
+        .orderBy("user_id")
+    }),
+
+    // Top-k per group via window + filter.
+    "topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("p_brand")
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      Tables.part(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+        .orderBy("p_brand", "rn")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn, rk, drk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER w AS rn, rank() OVER w AS rk,
+        |    dense_rank() OVER w AS drk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate DESC, o_orderkey ASC)
+        |) t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "window_lag_lead" ->
+      """SELECT user_id, event_id,
+        | epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+        | lead(event_type, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "window_running" ->
+      """SELECT user_id, event_id,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "window_moving" ->
+      """SELECT user_id, event_id,
+        | round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "window_range_frame" ->
+      """SELECT user_id, event_id, ts_sec,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_sec
+        |   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS w_sum
+        |FROM (SELECT *, epoch_us(ts) // 1000000 AS ts_sec FROM events) e
+        |ORDER BY event_id""".stripMargin,
+
+    "window_ntile" ->
+      """SELECT c_custkey, c_acctbal,
+        | ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC)
+        |   AS bal_quartile
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "window_first_last" ->
+      """SELECT DISTINCT user_id,
+        | first_value(event_type) OVER w AS first_type,
+        | last_value(event_type) OVER w AS last_type,
+        | count(*) OVER w AS n_events
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id""".stripMargin,
+
+    "topk_per_group" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+        |  FROM part
+        |) t WHERE rn <= 2 ORDER BY p_brand, rn""".stripMargin
+  )
+}
