@@ -22,12 +22,25 @@ def norm(v):
     return str(v)
 
 
+def norm_type(t):
+    t = str(t)
+    if t.startswith("timestamp"):
+        return "timestamp"  # ns vs us storage is a read artifact
+    if t == "large_string":
+        return "string"
+    return t
+
+
 def fetch_sorted_cols(con, sql):
     cur = con.execute(sql)
+    arrow_schema = cur.fetch_arrow_table().schema
+    cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
+    types = [norm_type(arrow_schema.field(c).type) for c in cols]
     rows = cur.fetchall()
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return [cols[i] for i in order], [tuple(norm(r[i]) for i in order) for r in rows]
+    return ([cols[i] for i in order], [types[i] for i in order],
+            [tuple(norm(r[i]) for i in order) for r in rows])
 
 
 def main(sf_dir, out_dir):
@@ -43,20 +56,25 @@ def main(sf_dir, out_dir):
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = n_noracle = 0
     for name in names:
-        got_cols, got = fetch_sorted_cols(
+        got_cols, got_types, got = fetch_sorted_cols(
             con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         if name not in oracle:
             print(f"  [no-oracle] {name}: {len(got)} rows")
             n_noracle += 1
             continue
         try:
-            exp_cols, exp = fetch_sorted_cols(con, oracle[name])
+            exp_cols, exp_types, exp = fetch_sorted_cols(con, oracle[name])
         except Exception as e:
             print(f"  [FAIL] {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
         if got_cols != exp_cols:
             print(f"  [FAIL] {name}: columns {got_cols} != {exp_cols}")
+            n_fail += 1
+        elif got_types != exp_types:
+            diffs = [f"{c}: {g}!={e}" for c, g, e
+                     in zip(got_cols, got_types, exp_types) if g != e]
+            print(f"  [FAIL] {name}: dtype mismatch {diffs}")
             n_fail += 1
         elif got != exp:
             print(f"  [FAIL] {name}: {len(got)} vs {len(exp)} rows; "

@@ -109,7 +109,8 @@ object Windows {
 
   val oracles: Map[String, String] = Map(
     "window_rank" ->
-      """SELECT o_custkey, o_orderkey, rn, rk, drk FROM (
+      """SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn,
+        |  CAST(rk AS INTEGER) AS rk, CAST(drk AS INTEGER) AS drk FROM (
         |  SELECT o_custkey, o_orderkey,
         |    row_number() OVER w AS rn, rank() OVER w AS rk,
         |    dense_rank() OVER w AS drk
@@ -147,8 +148,8 @@ object Windows {
 
     "window_ntile" ->
       """SELECT c_custkey, c_acctbal,
-        | ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC)
-        |   AS bal_quartile
+        | CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC)
+        |   AS INTEGER) AS bal_quartile
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "window_first_last" ->
@@ -162,7 +163,8 @@ object Windows {
         |ORDER BY user_id""".stripMargin,
 
     "topk_per_group" ->
-      """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+      """SELECT p_brand, p_partkey, p_retailprice,
+        |  CAST(rn AS INTEGER) AS rn FROM (
         |  SELECT p_brand, p_partkey, p_retailprice,
         |    row_number() OVER (PARTITION BY p_brand
         |      ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
