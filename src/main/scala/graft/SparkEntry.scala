@@ -16,7 +16,13 @@ object SparkEntry {
     (operators.Aggregates.queries, operators.Aggregates.oracles),
     (operators.SetsSorts.queries, operators.SetsSorts.oracles),
     (operators.Windows.queries, operators.Windows.oracles),
-    (operators.EventOps.queries, operators.EventOps.oracles)
+    (operators.EventOps.queries, operators.EventOps.oracles),
+    (operators.Functions.queries, operators.Functions.oracles),
+    (operators.TextOps.queries, operators.TextOps.oracles),
+    (operators.Dedup.queries, operators.Dedup.oracles),
+    (operators.Similarity.queries, operators.Similarity.oracles),
+    (operators.Multimodal.queries, operators.Multimodal.oracles),
+    (operators.Udx.queries, operators.Udx.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,44 @@
+package graft.functions
+
+import graft.functions.expressions.VecDot
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration of graft's native Catalyst expressions.
+  *
+  * Two paths:
+  *  - `GraftExtensions` for `spark.sql.extensions=graft.functions.
+  *    GraftExtensions` at session build (the clean cluster deployment);
+  *  - `ensureRegistered(spark)` for imperative, idempotent
+  *    registration on an already-built session (Verify/Bench/tests,
+  *    or a driver-owned session handed to `SparkEntry.entry`).
+  */
+object GraftFunctions {
+
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (es => VecDot(es(0), es(1))))
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
+  }
+
+  /** Column-level native dot product (see [[VecDot]] for semantics).
+    * Requires one of the registration paths above on the session. */
+  def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+}
+
+/** Session-extension registration: add to `spark.sql.extensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (es: Seq[Expression]) => VecDot(es(0), es(1))))
+  }
+}

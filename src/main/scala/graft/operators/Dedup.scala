@@ -1,0 +1,233 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.{GraftFunctions, VectorOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Category I (dedup half) — deduplication operators over `documents`
+  * and `embeddings` (SURVEY.md §2.1.I + training-data-pipeline
+  * mandate: exact, shingle-Jaccard, MinHash+LSH, SimHash, embedding-
+  * cosine near-dup).
+  *
+  * Corpus hazard (FIXTURES.md): the vocabulary is tiny, so unigram-set
+  * Jaccard saturates at 1.0 between unrelated docs — all shingle-based
+  * ops here use 3-word grams.
+  *
+  * Scale design: `dedup_near` is the exact quadratic-within-block
+  * baseline (blocking on lang + length keeps candidate pairs bounded);
+  * `dedup_minhash` is the 100-TB path — LSH banding finds candidates
+  * in O(n · bands) with a bucket join, then verifies exact Jaccard on
+  * candidates only. `dedup_simhash` blocks on 16-bit signature chunks
+  * (pigeonhole: hamming ≤ 3 over 4 chunks ⇒ one chunk equal).
+  */
+object Dedup {
+
+  /** doc_id, lang, n_chars, distinct 3-word shingles (one row each). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        explode(expr(
+          "transform(slice(ws, 1, size(ws) - 2), (w, i) -> " +
+            "concat(w, ' ', element_at(ws, i + 2), ' '," +
+            " element_at(ws, i + 3)))")).as("sh"))
+      .distinct()
+
+  /** Exact Jaccard over distinct-shingle sets for the given candidate
+    * pairs (columns d1 < d2), preserving any extra columns on cand. */
+  private def jaccardFor(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val a = sh.select(col("doc_id").as("d1"), col("sh"))
+    val b = sh.select(col("doc_id").as("d2"), col("sh"))
+    cand.join(a, "d1").join(b, Seq("d2", "sh"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("nsh", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("nsh", "n2"), "d2")
+      .withColumn("jac", round(col("inter").cast("double")
+        / (col("n1") + col("n2") - col("inter")), 4))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: survivor = min doc_id per text (deterministic pick,
+    // never "first"). Hash-groupBy on the text — at scale you'd group
+    // on text_fingerprint instead to avoid shuffling full texts.
+    "dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("text")
+        .agg(min("doc_id").as("keep_id"),
+          count(lit(1)).as("n_copies"),
+          min("n_chars").as("n_chars"))
+        .select("keep_id", "n_copies", "n_chars")
+        .orderBy("keep_id")),
+
+    // Near-dup via exact 3-gram shingle Jaccard, candidates blocked to
+    // same lang + |n_chars| diff <= 20, J >= 0.8.
+    "dedup_near" -> ((s, d) => {
+      val sh = shingles(s, d)
+      val a = sh.select(col("doc_id").as("d1"), col("lang").as("lang1"),
+        col("n_chars").as("nc1"), col("sh"))
+      val b = sh.select(col("doc_id").as("d2"), col("lang").as("lang2"),
+        col("n_chars").as("nc2"), col("sh"))
+      val cand = a.join(b,
+          a("sh") === b("sh") && col("d1") < col("d2")
+            && col("lang1") === col("lang2")
+            && abs(col("nc1") - col("nc2")) <= 20)
+        .select("d1", "d2").distinct()
+      jaccardFor(cand, sh)
+        .filter(col("jac") >= 0.8)
+        .select("d1", "d2", "jac")
+        .orderBy("d1", "d2")
+    }),
+
+    // Near-dup via MinHash + LSH banding (16 murmur3 hash functions,
+    // 8 bands x 2 rows), then exact-Jaccard verification of the
+    // candidates — the scale path: no all-pairs join anywhere.
+    // P[miss] for J=0.8 is (1-0.8^2)^8 ~ 2.8e-4 per pair; exact
+    // verification makes every emitted pair true, so at t2 scale the
+    // output equals the unblocked exact-Jaccard ground truth.
+    "dedup_minhash" -> ((s, d) => {
+      val sh = shingles(s, d)
+      val seeds = (0 until 16).map(i => (i, i / 2)) // (seed, band)
+      val seedDf = broadcast(
+        s.createDataFrame(seeds).toDF("seed", "band"))
+      val mh = sh.select(col("doc_id"), col("sh"))
+        .crossJoin(seedDf)
+        .groupBy("doc_id", "band", "seed")
+        .agg(min(hash(col("sh"), col("seed"))).as("mh"))
+      val bands = mh.groupBy("doc_id", "band")
+        .agg(min(when(col("seed") % 2 === 0, col("mh"))).as("h0"),
+          min(when(col("seed") % 2 === 1, col("mh"))).as("h1"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band")
+            && col("x.h0") === col("y.h0")
+            && col("x.h1") === col("y.h1")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      jaccardFor(cand, sh)
+        .filter(col("jac") >= 0.8)
+        .select("d1", "d2", "jac")
+        .orderBy("d1", "d2")
+    }),
+
+    // SimHash near-dup: 64-bit signature from xxhash64(word) weighted
+    // by term frequency; candidate pairs share one of four 16-bit
+    // signature chunks (pigeonhole for hamming <= 3); emit pairs with
+    // bit_count(sig1 XOR sig2) <= 3. No-oracle (signature depends on
+    // Spark's xxhash64); SimHashSpec pins semantics.
+    "dedup_simhash" -> ((s, d) => {
+      val sigs = simhash(Tables.documents(s, d))
+      val chunks = sigs.select(col("doc_id"), col("sig"),
+          explode(expr("transform(sequence(0, 3)," +
+            " c -> struct(c AS c, shiftright(sig, c * 16) & 65535 AS v))"))
+            .as("ch"))
+        .select(col("doc_id"), col("sig"),
+          col("ch.c").as("c"), col("ch.v").as("v"))
+      chunks.as("x").join(chunks.as("y"),
+          col("x.c") === col("y.c") && col("x.v") === col("y.v")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("d1", "d2")
+    }),
+
+    // Embedding-space near-dup: pairs with cosine >= 0.45 (double
+    // accumulation; threshold sits in a visible gap of the fixture's
+    // cosine distribution). Norms precomputed per vector; per-pair dot
+    // is the native codegen'd VecDot.
+    "dedup_embed" -> ((s, d) => {
+      GraftFunctions.ensureRegistered(s)
+      val e = Tables.embeddings(s, d)
+        .withColumn("nsq",
+          GraftFunctions.vecDot(col("embedding"), col("embedding")))
+      val a = e.select(col("vec_id").as("v1"), col("embedding").as("ea"),
+        col("nsq").as("na"))
+      val b = e.select(col("vec_id").as("v2"), col("embedding").as("eb"),
+        col("nsq").as("nb"))
+      a.join(b, col("v1") < col("v2"))
+        .withColumn("cos", round(
+          GraftFunctions.vecDot(col("ea"), col("eb"))
+            / sqrt(col("na") * col("nb")), 4))
+        .filter(col("cos") >= 0.45)
+        .select("v1", "v2", "cos")
+        .orderBy("v1", "v2")
+    })
+  )
+
+  /** 64-bit SimHash per doc over whitespace tokens. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("w")))
+    val bits = toks.select(col("doc_id"),
+        explode(expr("transform(sequence(0, 63), b -> struct(b AS b," +
+          " CASE WHEN (shiftright(h, b) & 1) = 1 THEN cnt" +
+          " ELSE -cnt END AS contrib))")).as("x"))
+      .select(col("doc_id"), col("x.b").as("b"),
+        col("x.contrib").as("contrib"))
+    bits.groupBy("doc_id", "b")
+      .agg(sum("contrib").as("score"))
+      .withColumn("bitval",
+        when(col("score") > 0, expr("shiftleft(1L, CAST(b AS INT))"))
+          .otherwise(0L))
+      .groupBy("doc_id")
+      .agg(sum("bitval").as("sig"))
+  }
+
+  private val exactJaccardSql =
+    """WITH ds AS (
+      |  SELECT DISTINCT doc_id, lang, n_chars, shingle FROM (
+      |    SELECT doc_id, lang, n_chars,
+      |      w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+      |        AS shingle
+      |    FROM (SELECT doc_id, lang, n_chars,
+      |            unnest(string_split(text, ' ')) AS w,
+      |            generate_subscripts(string_split(text, ' '), 1) AS pos
+      |          FROM documents) t
+      |    WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      |  ) s WHERE shingle IS NOT NULL
+      |), sz AS (
+      |  SELECT doc_id, count(*) AS nsh FROM ds GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |  FROM ds a JOIN ds b ON a.shingle = b.shingle
+      |    AND a.doc_id < b.doc_id%BLOCK%
+      |  GROUP BY 1, 2
+      |)
+      |SELECT d1, d2,
+      |  round(inter * 1.0 / (s1.nsh + s2.nsh - inter), 4) AS jac
+      |FROM pairs
+      |JOIN sz s1 ON d1 = s1.doc_id
+      |JOIN sz s2 ON d2 = s2.doc_id
+      |WHERE round(inter * 1.0 / (s1.nsh + s2.nsh - inter), 4) >= 0.8
+      |ORDER BY d1, d2""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        | CAST(min(n_chars) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "dedup_near" -> exactJaccardSql.replace("%BLOCK%",
+      "\n    AND a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 20"),
+
+    // MinHash output = unblocked exact ground truth (LSH recall at
+    // J >= 0.8 is effectively 1 at t2 scale; verified locally).
+    "dedup_minhash" -> exactJaccardSql.replace("%BLOCK%", ""),
+
+    "dedup_embed" ->
+      """SELECT a.vec_id AS v1, b.vec_id AS v2,
+        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |   CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |   CAST(b.embedding AS DOUBLE[])), 4) >= 0.45
+        |ORDER BY v1, v2""".stripMargin
+  )
+}

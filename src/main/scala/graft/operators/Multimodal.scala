@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Category I (multimodal half) — opaque-binary media columns with
+  * typed metadata (training-data-pipeline mandate).
+  *
+  * Media payloads are carried as `binary` columns + a typed metadata
+  * struct; decode / feature-extract / frame-sample run per-partition
+  * over iterator batches (the Spark-side plumbing — schema,
+  * partitioning, batch shape — is real). The codec itself is a
+  * clearly-marked deterministic STUB (no image/audio libs in this
+  * container): it derives features from raw bytes. Swapping in a real
+  * decoder changes only `MediaCodec`, nothing in the plan.
+  */
+object Multimodal {
+
+  /** STUB media codec — stands in for libjpeg/ffmpeg-style decoding.
+    * Deterministic pure function of the bytes, so plans over it are
+    * testable and hash-stable. */
+  object MediaCodec {
+    /** "Decode" a payload into fixed-size features: byte count, mean
+      * byte value, max byte, distinct-byte count. A real impl would
+      * decode pixels/samples here. */
+    def extractFeatures(bytes: Array[Byte]): Array[Double] = {
+      if (bytes.isEmpty) Array(0.0, 0.0, 0.0, 0.0)
+      else {
+        val u = bytes.map(b => (b & 0xFF).toDouble)
+        Array(u.length.toDouble, u.sum / u.length, u.max,
+          u.distinct.length.toDouble)
+      }
+    }
+
+    /** "Frame-sample" every `stride`-th byte (video frame analog). */
+    def sampleFrames(bytes: Array[Byte], stride: Int): Array[Byte] =
+      bytes.indices.collect {
+        case i if i % stride == 0 => bytes(i)
+      }.toArray
+  }
+
+  private val featSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("mean_byte", DoubleType),
+    StructField("max_byte", DoubleType),
+    StructField("distinct_bytes", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  /** The multimodal table: doc_id, payload binary, metadata struct —
+    * here synthesized from `documents.text` (UTF-8 bytes) because the
+    * fixtures carry no real media; at 100 TB this is the parquet
+    * schema a media lakehouse table would have. */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(lit("text/plain").as("mime"),
+          col("lang").as("lang"),
+          octet_length(encode(col("text"), "UTF-8")).as("n_bytes"))
+          .as("meta"))
+
+  val queries: Map[String, Q] = Map(
+    // Relational x vector x text: documents x embeddings on
+    // doc_id = vec_id (inner — fixture cardinalities differ), text
+    // stats per label.
+    "multimodal_join" -> ((s, d) =>
+      Tables.documents(s, d)
+        .join(Tables.embeddings(s, d),
+          col("doc_id") === col("vec_id"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg("n_chars"), 2).as("avg_chars"),
+          countDistinct("lang").as("n_langs"))
+        .orderBy("label")),
+
+    // Binary-column scan: payload size + metadata projection — the
+    // oracle-checkable half of the media path.
+    "multimodal_blob" -> ((s, d) =>
+      mediaTable(s, d)
+        .select(col("doc_id"),
+          octet_length(col("payload")).as("n_bytes"),
+          col("meta.mime").as("mime"),
+          col("meta.lang").as("lang"),
+          ascii(substring(col("payload").cast("string"), 1, 1))
+            .as("first_byte"))
+        .orderBy("doc_id")),
+
+    // Feature extraction via per-partition batch iteration — the
+    // mapPartitions path a real decoder would use (one codec init per
+    // partition, streamed batches, no collect). No-oracle: the codec
+    // stub is engine-internal; MultimodalSpec pins its outputs.
+    "multimodal_features" -> ((s, d) => {
+      val rdd = mediaTable(s, d)
+        .select("doc_id", "payload")
+        .rdd.mapPartitions { it =>
+          // codec init would happen here, once per partition
+          it.map { r =>
+            val id = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            val f = MediaCodec.extractFeatures(bytes)
+            val frames = MediaCodec.sampleFrames(bytes, stride = 16)
+            Row(id, f(0).toInt, f(1), f(2), f(3).toInt, frames.length)
+          }
+        }
+      s.createDataFrame(rdd, featSchema)
+        .withColumn("mean_byte", round(col("mean_byte"), 4))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_join" ->
+      """SELECT label, count(*) AS n, round(avg(n_chars), 2) AS avg_chars,
+        | count(DISTINCT lang) AS n_langs
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY label ORDER BY label""".stripMargin,
+
+    "multimodal_blob" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        | 'text/plain' AS mime, lang,
+        | CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS first_byte
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

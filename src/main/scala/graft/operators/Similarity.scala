@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions.vecDot
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Category I (similarity half) — vector similarity search over
+  * `embeddings` (SURVEY.md §2.1.I + training-data-pipeline mandate).
+  *
+  * `similarity_knn` / `similarity_topk_per_query` are the exact
+  * brute-force baselines (all-pairs cosine). `ann_lsh` is the scale
+  * path: random-hyperplane LSH buckets vectors so each query only
+  * scores its bucket — the bucket join replaces the cross join, which
+  * is what survives 100 TB.
+  *
+  * Perf shape: squared norms are computed ONCE per vector before the
+  * pair join (not per pair), and the per-pair dot product is the
+  * native codegen'd [[graft.functions.expressions.VecDot]] — double
+  * accumulation in element order, so 4-dp rounds hash-match DuckDB's
+  * `list_cosine_similarity(CAST(… AS DOUBLE[]))`.
+  */
+object Similarity {
+
+  /** embeddings + precomputed squared norm (one pass, n rows). */
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.ensureRegistered(s)
+    Tables.embeddings(s, d)
+      .withColumn("nsq", vecDot(col("embedding"), col("embedding")))
+  }
+
+  private def pairs(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("ea"),
+      col("nsq").as("na"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("eb"),
+      col("nsq").as("nb"))
+    a.join(b, col("v1") =!= col("v2"))
+      .withColumn("cos", round(
+        vecDot(col("ea"), col("eb")) / sqrt(col("na") * col("nb")), 4))
+  }
+
+  /** Deterministic random hyperplanes: nPlanes x dim coefficients from
+    * a fixed-seed PRNG (stable across runs and JVMs). */
+  def hyperplanes(nPlanes: Int, dim: Int): Seq[(Int, Seq[Double])] = {
+    val rng = new java.util.Random(42)
+    (0 until nPlanes).map(p => (p, Seq.fill(dim)(rng.nextGaussian())))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Global top-20 most-similar pairs (v1 < v2), brute force.
+    "similarity_knn" -> ((s, d) =>
+      pairs(s, d)
+        .filter(col("v1") < col("v2"))
+        .select("v1", "v2", "cos")
+        .orderBy(col("cos").desc, col("v1"), col("v2"))
+        .limit(20)),
+
+    // Per-query top-5 neighbors with rank, brute force.
+    "similarity_topk_per_query" -> ((s, d) => {
+      val w = Window.partitionBy("v1")
+        .orderBy(col("cos").desc, col("v2"))
+      pairs(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select("v1", "rk", "v2", "cos")
+        .orderBy("v1", "rk")
+    }),
+
+    // ANN: 8-bit random-hyperplane LSH signatures -> bucket join ->
+    // exact cosine inside the bucket -> top-3 per query. No-oracle
+    // (approximate by construction); AnnSpec measures recall against
+    // the brute-force twin.
+    "ann_lsh" -> ((s, d) => {
+      val planes = hyperplanes(nPlanes = 8, dim = 64)
+      val planesDf = broadcast(
+        s.createDataFrame(planes.map { case (p, cs) => (p, cs) })
+          .toDF("plane", "coef"))
+      val sigs = vecs(s, d).crossJoin(planesDf)
+        .withColumn("bit",
+          when(vecDot(col("embedding"), col("coef")) >= 0,
+            expr("shiftleft(1, CAST(plane AS INT))")).otherwise(0))
+        .groupBy("vec_id", "embedding", "nsq")
+        .agg(sum("bit").as("bucket"))
+      val a = sigs.select(col("vec_id").as("v1"),
+        col("embedding").as("ea"), col("nsq").as("na"), col("bucket"))
+      val b = sigs.select(col("vec_id").as("v2"),
+        col("embedding").as("eb"), col("nsq").as("nb"), col("bucket"))
+      val w = Window.partitionBy("v1")
+        .orderBy(col("cos").desc, col("v2"))
+      a.join(b, Seq("bucket"))
+        .filter(col("v1") =!= col("v2"))
+        .withColumn("cos", round(
+          vecDot(col("ea"), col("eb")) / sqrt(col("na") * col("nb")), 4))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("v1", "rk", "v2", "cos", "bucket")
+        .orderBy("v1", "rk")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "similarity_knn" ->
+      """SELECT a.vec_id AS v1, b.vec_id AS v2,
+        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |   CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |ORDER BY cos DESC, v1, v2 LIMIT 20""".stripMargin,
+
+    "similarity_topk_per_query" ->
+      """SELECT v1, CAST(rk AS INTEGER) AS rk, v2, cos FROM (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 4) AS cos,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY round(list_cosine_similarity(
+        |        CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])), 4) DESC, b.vec_id) AS rk
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |) t WHERE rk <= 5 ORDER BY v1, rk""".stripMargin
+  )
+}

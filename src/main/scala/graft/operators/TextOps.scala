@@ -1,0 +1,239 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Category I (text half) — text-analysis operators over `documents`
+  * (SURVEY.md §2.1.I + the training-data-pipeline mandate).
+  *
+  * All tokenization is whitespace-split over lowercase word-salad
+  * (FIXTURES.md); every query ends in a provably-total ORDER BY.
+  *
+  * Scale notes: explode(words) multiplies rows by ~60 but keeps them
+  * narrow; every aggregation is partial+final on (doc|term) keys, so
+  * the shape is a classic map-side-combinable wordcount that scales
+  * linearly with corpus size. tf-idf joins term-level df (small,
+  * vocabulary-bound) to doc-level tf via broadcast.
+  */
+object TextOps {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to")
+
+  val queries: Map[String, Q] = Map(
+    // Term frequency across the corpus.
+    "text_wordcount" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))),
+
+    // Bigram counts via an ordered zip of adjacent tokens (no
+    // self-join: transform over the word array stays row-local).
+    "text_ngrams" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(split(col("text"), " ").as("ws"))
+        .select(explode(expr(
+          "transform(slice(ws, 1, size(ws) - 1)," +
+            " (w, i) -> concat(w, ' ', element_at(ws, i + 2)))"))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))),
+
+    // tf-idf per (doc, term): tf * ln(N / df), bounded output.
+    "text_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy("w").agg(countDistinct("doc_id").as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(broadcast(df), "w")
+        .crossJoin(broadcast(n))
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("w").as("term"),
+          col("tf"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4)
+            .as("tfidf"))
+        .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+    }),
+
+    // Corpus stats per (lang, source): doc counts, char sums, vocab.
+    "text_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          round(avg("n_chars"), 2).as("avg_chars"))
+      val vocab = docs
+        .select(col("lang"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .groupBy("lang", "source")
+        .agg(countDistinct("w").as("vocab"))
+      base.join(vocab, Seq("lang", "source"))
+        .orderBy("lang", "source")
+    }),
+
+    // Per-doc quality signals: token count, word length, stopword
+    // ratio, and a CASE-bucketed quality band.
+    "text_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n_words", size(col("ws")))
+        .withColumn("avg_wlen",
+          round(length(regexp_replace(col("text"), " ", ""))
+            .cast("double") / col("n_words"), 4))
+        .withColumn("stop_ratio",
+          round(size(expr(s"filter(ws, w -> w IN (${
+            stopwords.map("'" + _ + "'").mkString(",")}))"))
+            .cast("double") / col("n_words"), 4))
+        .withColumn("quality",
+          when(col("n_words") < 15, "short")
+            .when(col("stop_ratio") > 0.25, "stoppy")
+            .when(col("avg_wlen") >= 4.5, "wordy")
+            .otherwise("ok"))
+        .select("doc_id", "n_words", "avg_wlen", "stop_ratio", "quality")
+        .orderBy("doc_id")),
+
+    // Token counting: whitespace tokens vs regex (BPE-ish) tokens vs
+    // long tokens — the per-doc token accounting a training pipeline
+    // budgets with.
+    "text_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          regexp_count(col("text"), lit("[a-z]+")).as("re_tokens"),
+          size(expr("filter(split(text, ' '), w -> length(w) >= 6)"))
+            .as("long_tokens"),
+          length(col("text")).as("chars"))
+        .orderBy("doc_id")),
+
+    // Deterministic document fingerprint: rolling polynomial hash over
+    // the character stream (mod 1e9+7) — content-addressable id usable
+    // for exact-dedup at scale without shipping full texts.
+    "text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("aggregate(split(text, ''), 7L," +
+            " (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)").as("fp"),
+          col("n_chars"))
+        .orderBy("doc_id")),
+
+    // Language-ID by marker-token voting: a broadcast profile table of
+    // (marker word, lang, weight) joined against exploded tokens,
+    // argmax per doc. No-oracle: the heuristic's profile table is
+    // engine-internal (and this corpus shares one vocabulary across
+    // langs — see LangIdSpec for a real multilingual fixture test).
+    "text_langid" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val profiles = s.createDataFrame(graft.functions.LangId.profileRows)
+        .toDF("w", "cand_lang", "weight")
+      val scored = toks.join(broadcast(profiles), "w")
+        .groupBy("doc_id", "cand_lang")
+        .agg(sum("weight").as("score"))
+      val best = scored
+        .groupBy("doc_id")
+        .agg(max_by(col("cand_lang"),
+          struct(col("score"), col("cand_lang"))).as("pred_lang"),
+          max("score").as("score"))
+      docs.select("doc_id", "lang")
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("pred_lang"), lit("und")).as("pred_lang"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_wordcount" ->
+      """SELECT w AS word, count(*) AS n
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+        |      FROM documents) t
+        |GROUP BY w ORDER BY n DESC, word""".stripMargin,
+
+    "text_ngrams" ->
+      """SELECT bigram, count(*) AS n FROM (
+        |  SELECT w || ' ' || lead(w, 1) OVER
+        |    (PARTITION BY doc_id ORDER BY pos) AS bigram
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split(text, ' ')) AS w,
+        |          generate_subscripts(string_split(text, ' '), 1) AS pos
+        |        FROM documents) t
+        |) b WHERE bigram IS NOT NULL
+        |GROUP BY bigram ORDER BY n DESC, bigram""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), df AS (
+        |  SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+        |)
+        |SELECT tf.doc_id, tf.w AS term, tf.tf,
+        |  round(tf.tf * ln((SELECT count(*) FROM documents)
+        |    * 1.0 / df.df), 4) AS tfidf
+        |FROM tf JOIN df ON tf.w = df.w
+        |WHERE tf.doc_id < 50
+        |ORDER BY doc_id, tfidf DESC, term""".stripMargin,
+
+    "text_stats" ->
+      """WITH base AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    round(avg(n_chars), 2) AS avg_chars
+        |  FROM documents GROUP BY 1, 2
+        |), vocab AS (
+        |  SELECT lang, source, count(DISTINCT w) AS vocab
+        |  FROM (SELECT lang, source,
+        |          unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  GROUP BY 1, 2
+        |)
+        |SELECT base.lang, base.source, n_docs, total_chars, avg_chars,
+        |  vocab
+        |FROM base JOIN vocab USING (lang, source)
+        |ORDER BY lang, source""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+        |  round(length(replace(text, ' ', ''))
+        |    * 1.0 / len(string_split(text, ' ')), 4) AS avg_wlen,
+        |  round(len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the', 'a', 'of', 'and', 'to')))
+        |    * 1.0 / len(string_split(text, ' ')), 4) AS stop_ratio,
+        |  CASE
+        |    WHEN len(string_split(text, ' ')) < 15 THEN 'short'
+        |    WHEN round(len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the', 'a', 'of', 'and', 'to')))
+        |      * 1.0 / len(string_split(text, ' ')), 4) > 0.25
+        |      THEN 'stoppy'
+        |    WHEN round(length(replace(text, ' ', ''))
+        |      * 1.0 / len(string_split(text, ' ')), 4) >= 4.5 THEN 'wordy'
+        |    ELSE 'ok'
+        |  END AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER)
+        |    AS re_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    w -> length(w) >= 6)) AS INTEGER) AS long_tokens,
+        |  CAST(length(text) AS INTEGER) AS chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(7 AS BIGINT),
+        |      list_transform(string_split(text, ''),
+        |        x -> CAST(ascii(x) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
