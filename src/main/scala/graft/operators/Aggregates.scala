@@ -35,13 +35,20 @@ object Aggregates {
         .orderBy("l_returnflag", "l_linestatus")),
 
     // Post-aggregation filter (HAVING).
-    "agg_having" -> ((s, d) =>
-      Tables.customer(s, d)
-        .groupBy("c_mktsegment")
+    "agg_having" -> ((s, d) => {
+      // Scale-relative threshold (> total/5.2) so the predicate is
+      // selective-but-nonempty at every scale factor; the total is a
+      // 1-row broadcast, not a collect.
+      val c = Tables.customer(s, d)
+      val tot = c.agg(count(lit(1)).as("tot"))
+      c.groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_customers"),
           round(avg("c_acctbal"), 2).as("avg_bal"))
-        .filter(col("n_customers") > 290)
-        .orderBy("c_mktsegment")),
+        .crossJoin(broadcast(tot))
+        .filter(col("n_customers") > col("tot") / 5.2)
+        .drop("tot")
+        .orderBy("c_mktsegment")
+    }),
 
     // Exact COUNT(DISTINCT): expands to a two-phase distinct agg.
     "agg_distinct" -> ((s, d) =>
@@ -159,7 +166,8 @@ object Aggregates {
       """SELECT c_mktsegment, count(*) AS n_customers,
         | round(avg(c_acctbal), 2) AS avg_bal
         |FROM customer GROUP BY c_mktsegment
-        |HAVING count(*) > 290 ORDER BY c_mktsegment""".stripMargin,
+        |HAVING count(*) > (SELECT count(*) FROM customer) / 5.2
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "agg_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,

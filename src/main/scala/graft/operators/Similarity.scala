@@ -69,34 +69,43 @@ object Similarity {
         .orderBy("v1", "rk")
     }),
 
-    // ANN: 8-bit random-hyperplane LSH signatures -> bucket join ->
-    // exact cosine inside the bucket -> top-3 per query. No-oracle
-    // (approximate by construction); AnnSpec measures recall against
-    // the brute-force twin.
+    // ANN: multi-table random-hyperplane LSH (4 tables x 5 bits) ->
+    // per-table bucket join -> union of candidates -> exact cosine ->
+    // top-3 per query. No-oracle (approximate by construction);
+    // AnnSpec measures recall against the brute-force twin. The
+    // bucket join + candidate-union is the 100-TB shape: cost is
+    // O(n * bucket_occupancy * tables), never O(n^2).
     "ann_lsh" -> ((s, d) => {
-      val planes = hyperplanes(nPlanes = 8, dim = 64)
+      val nTables = 6
+      val bitsPerTable = 4
+      val planes = hyperplanes(nPlanes = nTables * bitsPerTable, dim = 64)
+        .map { case (p, cs) => (p / bitsPerTable, p % bitsPerTable, cs) }
       val planesDf = broadcast(
-        s.createDataFrame(planes.map { case (p, cs) => (p, cs) })
-          .toDF("plane", "coef"))
+        s.createDataFrame(planes).toDF("tbl", "bit_pos", "coef"))
       val sigs = vecs(s, d).crossJoin(planesDf)
         .withColumn("bit",
           when(vecDot(col("embedding"), col("coef")) >= 0,
-            expr("shiftleft(1, CAST(plane AS INT))")).otherwise(0))
-        .groupBy("vec_id", "embedding", "nsq")
+            expr("shiftleft(1, CAST(bit_pos AS INT))")).otherwise(0))
+        .groupBy("vec_id", "embedding", "nsq", "tbl")
         .agg(sum("bit").as("bucket"))
       val a = sigs.select(col("vec_id").as("v1"),
-        col("embedding").as("ea"), col("nsq").as("na"), col("bucket"))
+        col("embedding").as("ea"), col("nsq").as("na"),
+        col("tbl"), col("bucket"))
       val b = sigs.select(col("vec_id").as("v2"),
-        col("embedding").as("eb"), col("nsq").as("nb"), col("bucket"))
+        col("embedding").as("eb"), col("nsq").as("nb"),
+        col("tbl"), col("bucket"))
+      val cand = a.join(b, Seq("tbl", "bucket"))
+        .filter(col("v1") =!= col("v2"))
+        .select("v1", "ea", "na", "v2", "eb", "nb")
+        .dropDuplicates("v1", "v2")
       val w = Window.partitionBy("v1")
         .orderBy(col("cos").desc, col("v2"))
-      a.join(b, Seq("bucket"))
-        .filter(col("v1") =!= col("v2"))
+      cand
         .withColumn("cos", round(
           vecDot(col("ea"), col("eb")) / sqrt(col("na") * col("nb")), 4))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
-        .select("v1", "rk", "v2", "cos", "bucket")
+        .select("v1", "rk", "v2", "cos")
         .orderBy("v1", "rk")
     })
   )

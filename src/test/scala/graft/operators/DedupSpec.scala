@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup semantics against the sf0.1 fixtures (FIXTURES.md: 8 text
+  * values appear exactly twice at sf0.1; none below). */
+class DedupSpec extends SparkSpec {
+
+  private lazy val exactDupPairs: Set[(Long, Long)] = {
+    val docs = graft.Tables.documents(spark, SparkSpec.sf01)
+    docs.groupBy("text")
+      .agg(min("doc_id").as("d1"), max("doc_id").as("d2"),
+        count(lit(1)).as("n"))
+      .filter(col("n") === 2)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("fixture has exactly 8 exact-dup pairs at sf0.1") {
+    assert(exactDupPairs.size == 8)
+  }
+
+  test("dedup_exact survivors: one per distinct text, min doc_id") {
+    val out = Dedup.queries("dedup_exact")(spark, SparkSpec.sf01)
+    assert(out.count() == 4992) // 5000 rows - 8 second copies
+    val copies = out.filter(col("n_copies") === 2).count()
+    assert(copies == 8)
+  }
+
+  test("dedup_minhash finds every exact-dup pair with jac 1.0") {
+    val got = Dedup.queries("dedup_minhash")(spark, SparkSpec.sf01)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    exactDupPairs.foreach { p =>
+      assert(got.contains(p), s"minhash missed exact dup $p")
+      assert(got(p) == 1.0, s"exact dup $p jac ${got(p)} != 1.0")
+    }
+    assert(got.values.forall(_ >= 0.8))
+  }
+
+  test("dedup_simhash: exact dups have hamming 0; output sorted") {
+    val rows = Dedup.queries("dedup_simhash")(spark, SparkSpec.sf01)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+    val got = rows.toMap
+    exactDupPairs.foreach { p =>
+      assert(got.get(p).contains(0), s"exact dup $p missing/nonzero")
+    }
+    assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted)
+  }
+
+  test("dedup_near is idempotent on a deduped corpus") {
+    // After dropping the 8 higher-id exact copies, rerunning exact
+    // dedup changes nothing (idempotence property).
+    val docs = graft.Tables.documents(spark, SparkSpec.sf01)
+    val survivors = docs.groupBy("text")
+      .agg(min("doc_id").as("doc_id"))
+    val again = survivors.groupBy("text").count()
+      .filter(col("count") > 1).count()
+    assert(again == 0)
+  }
+}

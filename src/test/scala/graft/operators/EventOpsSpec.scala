@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sessionization invariants + gap-boundary edge semantics
+  * (SURVEY.md §5 property list). */
+class EventOpsSpec extends SparkSpec {
+
+  import java.sql.Timestamp
+  private def ts(minute: Int) =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("session boundary: gap of exactly 30 min does NOT split") {
+    val s = spark
+    import s.implicits._
+    // u1: gaps 30min (no split), 31min (split). u2: single event.
+    val df = Seq(
+      (1L, ts(0), 10L, "click", 1.0),
+      (2L, ts(30), 10L, "click", 1.0),   // 30:00 gap -> same session
+      (3L, ts(61), 10L, "click", 1.0),   // 31:00 gap -> new session
+      (4L, ts(0), 20L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    df.createOrReplaceTempView("events_mem")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = df
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull
+          || unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+             > 1800L * 1000000L, 1).otherwise(0))
+      .groupBy("user_id").agg(sum("new_sess").as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sess(10L) == 2, "30-min gap must not split; 31-min must")
+    assert(sess(20L) == 1)
+  }
+
+  test("every event lands in exactly one session") {
+    val sessions = EventOps.queries("stream_session")(
+      spark, SparkSpec.sf0001)
+    val eventTotal = graft.Tables.events(spark, SparkSpec.sf0001).count()
+    val inSessions = sessions.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(inSessions == eventTotal)
+  }
+
+  test("session count per user = gap count + 1") {
+    val perUser = EventOps.queries("stream_session")(
+      spark, SparkSpec.sf0001)
+      .groupBy("user_id").count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = graft.Tables.events(spark, SparkSpec.sf0001)
+      .withColumn("gap",
+        when(unix_micros(col("ts"))
+          - unix_micros(lag(col("ts"), 1).over(w))
+          > 1800L * 1000000L, 1).otherwise(0))
+      .groupBy("user_id").agg(sum("gap").as("gaps"))
+    val joined = perUser.join(gaps, "user_id").collect()
+    joined.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + 1,
+        s"user ${r.getLong(0)}: sessions ${r.getLong(1)} != gaps+1")
+    }
+  }
+
+  test("union_all counts are additive") {
+    val sf = SparkSpec.sf0001
+    val c = graft.Tables.customer(spark, sf)
+      .filter(col("c_acctbal") > 0).count()
+    val s = graft.Tables.supplier(spark, sf)
+      .filter(col("s_acctbal") > 0).count()
+    val u = graft.Tables.customer(spark, sf)
+      .filter(col("c_acctbal") > 0).select(col("c_name").as("name"))
+      .unionAll(graft.Tables.supplier(spark, sf)
+        .filter(col("s_acctbal") > 0).select(col("s_name").as("name")))
+      .count()
+    assert(u == c + s)
+  }
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** MediaCodec stub semantics + the mapPartitions feature pipeline. */
+class MultimodalSpec extends SparkSpec {
+
+  test("codec features on known bytes") {
+    val f = Multimodal.MediaCodec.extractFeatures(
+      Array[Byte](0, 10, 10, 100))
+    assert(f(0) == 4.0)   // n_bytes
+    assert(f(1) == 30.0)  // mean
+    assert(f(2) == 100.0) // max
+    assert(f(3) == 3.0)   // distinct
+    assert(Multimodal.MediaCodec.extractFeatures(Array.empty).toSeq
+      == Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("frame sampling takes every k-th byte") {
+    val frames = Multimodal.MediaCodec.sampleFrames(
+      (0 until 100).map(_.toByte).toArray, stride = 16)
+    assert(frames.toSeq == Seq(0, 16, 32, 48, 64, 80, 96).map(_.toByte))
+  }
+
+  test("multimodal_features pipeline: one row per doc, sane features") {
+    val rows = Multimodal.queries("multimodal_features")(
+      spark, SparkSpec.sf0001).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val nBytes = r.getInt(1)
+      assert(nBytes > 0)
+      assert(r.getDouble(2) > 0 && r.getDouble(2) < 256) // mean byte
+      assert(r.getInt(5) == (nBytes + 15) / 16)          // frame count
+    }
+  }
+
+  test("media table carries binary payload + typed metadata") {
+    val mt = Multimodal.mediaTable(spark, SparkSpec.sf0001)
+    val schema = mt.schema
+    assert(schema("payload").dataType.typeName == "binary")
+    assert(schema("meta").dataType.typeName == "struct")
+    val r = mt.orderBy("doc_id").limit(1).collect()(0)
+    val payload = r.getAs[Array[Byte]]("payload")
+    val meta = r.getStruct(r.fieldIndex("meta"))
+    assert(meta.getAs[String]("mime") == "text/plain")
+    assert(meta.getAs[Int]("n_bytes") == payload.length)
+  }
+}

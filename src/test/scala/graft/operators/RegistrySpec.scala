@@ -1,0 +1,30 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Contract checks over the whole query registry (SURVEY.md §5):
+  * every declared query runs on sf0.001, is deterministic across two
+  * executions (rule §2.0.1), and every oracle key has a query. */
+class RegistrySpec extends SparkSpec {
+
+  test("every oracle key has a matching query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
+  }
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  // One test per query: runs + identical output across two runs
+  // (catches missing total-order ORDER BY without needing DuckDB).
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs deterministically on sf0.001") {
+      val r1 = fn(spark, SparkSpec.sf0001).collect().map(_.toString).toSeq
+      val r2 = fn(spark, SparkSpec.sf0001).collect().map(_.toString).toSeq
+      assert(r1 == r2, s"$name output differs between runs")
+      assert(r1.nonEmpty || name.startsWith("dedup_"),
+        s"$name returned 0 rows at sf0.001")
+    }
+  }
+}
