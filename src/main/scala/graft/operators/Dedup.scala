@@ -159,25 +159,27 @@ object Dedup {
     })
   )
 
-  /** 64-bit SimHash per doc over whitespace tokens. */
+  /** 64-bit SimHash per doc over whitespace tokens.
+    *
+    * Shape: one (doc, word, cnt, hash) row per distinct term, then 64
+    * per-bit weighted sums as AGG COLUMNS of a single hash aggregate
+    * (not 64 exploded rows per term — that costs a 64x row blow-up
+    * and a huge shuffle; columns ride the same partial agg for free).
+    */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
       .withColumn("h", xxhash64(col("w")))
-    val bits = toks.select(col("doc_id"),
-        explode(expr("transform(sequence(0, 63), b -> struct(b AS b," +
-          " CASE WHEN (shiftright(h, b) & 1) = 1 THEN cnt" +
-          " ELSE -cnt END AS contrib))")).as("x"))
-      .select(col("doc_id"), col("x.b").as("b"),
-        col("x.contrib").as("contrib"))
-    bits.groupBy("doc_id", "b")
-      .agg(sum("contrib").as("score"))
-      .withColumn("bitval",
-        when(col("score") > 0, expr("shiftleft(1L, CAST(b AS INT))"))
-          .otherwise(0L))
-      .groupBy("doc_id")
-      .agg(sum("bitval").as("sig"))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), col("cnt"))
+        .otherwise(-col("cnt"))).as(s"s_$b"))
+    val sig = (0 until 64).map(b =>
+      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    toks.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("sig"))
   }
 
   private val exactJaccardSql =

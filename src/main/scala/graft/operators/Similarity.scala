@@ -31,13 +31,17 @@ object Similarity {
       .withColumn("nsq", vecDot(col("embedding"), col("embedding")))
   }
 
-  private def pairs(s: SparkSession, d: String): DataFrame = {
+  /** Scored vector pairs under the given join predicate (the
+    * predicate lives IN the join so pruned pairs never reach the dot
+    * product). */
+  private def pairs(s: SparkSession, d: String,
+      cond: org.apache.spark.sql.Column): DataFrame = {
     val e = vecs(s, d)
     val a = e.select(col("vec_id").as("v1"), col("embedding").as("ea"),
       col("nsq").as("na"))
     val b = e.select(col("vec_id").as("v2"), col("embedding").as("eb"),
       col("nsq").as("nb"))
-    a.join(b, col("v1") =!= col("v2"))
+    a.join(b, cond)
       .withColumn("cos", round(
         vecDot(col("ea"), col("eb")) / sqrt(col("na") * col("nb")), 4))
   }
@@ -52,17 +56,23 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     // Global top-20 most-similar pairs (v1 < v2), brute force.
     "similarity_knn" -> ((s, d) =>
-      pairs(s, d)
-        .filter(col("v1") < col("v2"))
+      pairs(s, d, col("v1") < col("v2"))
         .select("v1", "v2", "cos")
         .orderBy(col("cos").desc, col("v1"), col("v2"))
         .limit(20)),
 
-    // Per-query top-5 neighbors with rank, brute force.
+    // Per-query top-5 neighbors with rank, brute force. Cosine is
+    // symmetric, so score each unordered pair ONCE (v1 < v2) and
+    // mirror the scored rows — halves the O(n²) dot products; the
+    // mirror union is a cheap narrow-row projection.
     "similarity_topk_per_query" -> ((s, d) => {
+      val half = pairs(s, d, col("v1") < col("v2"))
+        .select("v1", "v2", "cos")
+      val full = half.unionAll(half.select(
+        col("v2").as("v1"), col("v1").as("v2"), col("cos")))
       val w = Window.partitionBy("v1")
         .orderBy(col("cos").desc, col("v2"))
-      pairs(s, d)
+      full
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select("v1", "rk", "v2", "cos")
@@ -77,7 +87,12 @@ object Similarity {
     // O(n * bucket_occupancy * tables), never O(n^2).
     "ann_lsh" -> ((s, d) => {
       val nTables = 6
-      val bitsPerTable = 4
+      // Bucket fan-out scales with collection size (targets ~64
+      // vectors/bucket) — the one O(1) driver-side action here is the
+      // count, which any planner would take.
+      val n = Tables.embeddings(s, d).count()
+      val bitsPerTable = math.max(4,
+        (math.log(n / 64.0) / math.log(2)).ceil.toInt)
       val planes = hyperplanes(nPlanes = nTables * bitsPerTable, dim = 64)
         .map { case (p, cs) => (p / bitsPerTable, p % bitsPerTable, cs) }
       val planesDf = broadcast(
@@ -94,15 +109,17 @@ object Similarity {
       val b = sigs.select(col("vec_id").as("v2"),
         col("embedding").as("eb"), col("nsq").as("nb"),
         col("tbl"), col("bucket"))
-      val cand = a.join(b, Seq("tbl", "bucket"))
-        .filter(col("v1") =!= col("v2"))
-        .select("v1", "ea", "na", "v2", "eb", "nb")
-        .dropDuplicates("v1", "v2")
+      // Cosine is computed BEFORE the candidate dedup so only narrow
+      // (v1, v2, cos) rows shuffle — re-scoring a pair that collides
+      // in two tables is cheaper than shuffling two 64-float arrays.
       val w = Window.partitionBy("v1")
         .orderBy(col("cos").desc, col("v2"))
-      cand
+      a.join(b, Seq("tbl", "bucket"))
+        .filter(col("v1") =!= col("v2"))
         .withColumn("cos", round(
           vecDot(col("ea"), col("eb")) / sqrt(col("na") * col("nb")), 4))
+        .select("v1", "v2", "cos")
+        .dropDuplicates("v1", "v2")
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select("v1", "rk", "v2", "cos")
