@@ -64,19 +64,28 @@ object Dedup {
         .orderBy("keep_id")),
 
     // Near-dup via exact 3-gram shingle Jaccard, candidates blocked to
-    // same lang + |n_chars| diff <= 20, J >= 0.8.
+    // same lang + |n_chars| diff <= 20, J >= 0.8. ONE shingle
+    // equi-join: matching rows group straight into intersection
+    // counts (shingle sets are distinct per doc), no candidate
+    // materialization + re-join.
     "dedup_near" -> ((s, d) => {
       val sh = shingles(s, d)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       val a = sh.select(col("doc_id").as("d1"), col("lang").as("lang1"),
         col("n_chars").as("nc1"), col("sh"))
       val b = sh.select(col("doc_id").as("d2"), col("lang").as("lang2"),
         col("n_chars").as("nc2"), col("sh"))
-      val cand = a.join(b,
+      a.join(b,
           a("sh") === b("sh") && col("d1") < col("d2")
             && col("lang1") === col("lang2")
             && abs(col("nc1") - col("nc2")) <= 20)
-        .select("d1", "d2").distinct()
-      jaccardFor(cand, sh)
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+        .join(sizes.withColumnRenamed("doc_id", "d1")
+          .withColumnRenamed("nsh", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2")
+          .withColumnRenamed("nsh", "n2"), "d2")
+        .withColumn("jac", round(col("inter").cast("double")
+          / (col("n1") + col("n2") - col("inter")), 4))
         .filter(col("jac") >= 0.8)
         .select("d1", "d2", "jac")
         .orderBy("d1", "d2")

@@ -102,24 +102,32 @@ object Joins {
 
     // As-of join: each purchase -> most recent prior click of the same
     // user (AIS analog: position -> last port call). Spark has no
-    // native as-of: equi on user + time bound, keep latest via
-    // row_number. Window is partitioned by purchase, so state is
-    // bounded per key at scale.
+    // native as-of; the scalable form is a MERGE, not a join: union
+    // both sides tagged, sort per user by (ts, kind, event_id) with
+    // clicks before purchases on ties (<= semantics), and carry the
+    // running last click forward. O(n log n), bounded per-key window
+    // state — no O(clicks x purchases) intermediate, which is what
+    // kills the join+row_number form on a hot user at 100 TB.
     "join_asof" -> ((s, d) => {
       val ev = Tables.events(s, d)
-      val p = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id"),
-          col("ts").as("p_ts"))
-      val c = ev.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-          col("ts").as("c_ts"))
-      val w = Window.partitionBy("purchase_id")
-        .orderBy(col("c_ts").desc, col("click_id").desc)
-      p.join(c, col("user_id") === col("c_user") && col("c_ts") <= col("p_ts"),
-          "left")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("purchase_id", "click_id")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("kind"),
+          col("event_id"),
+          col("event_id").as("click_id"),
+          lit(null).cast("long").as("purchase_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("kind"),
+          col("event_id"),
+          lit(null).cast("long").as("click_id"),
+          col("event_id").as("purchase_id"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionAll(purchases)
+        .withColumn("last_click",
+          last(col("click_id"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("purchase_id"), col("last_click").as("click_id"))
         .orderBy("purchase_id")
     }),
 
