@@ -22,7 +22,8 @@ object SparkEntry {
     (operators.Dedup.queries, operators.Dedup.oracles),
     (operators.Similarity.queries, operators.Similarity.oracles),
     (operators.Multimodal.queries, operators.Multimodal.oracles),
-    (operators.Udx.queries, operators.Udx.oracles)
+    (operators.Udx.queries, operators.Udx.oracles),
+    (operators.Sampling.queries, operators.Sampling.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

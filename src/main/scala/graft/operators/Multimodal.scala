@@ -39,6 +39,13 @@ object Multimodal {
       bytes.indices.collect {
         case i if i % stride == 0 => bytes(i)
       }.toArray
+
+    /** "Resize" to a fixed-length payload via nearest-neighbor index
+      * mapping (image-resize analog over the opaque byte plane). */
+    def resize(bytes: Array[Byte], outLen: Int): Array[Byte] =
+      if (bytes.isEmpty) Array.fill(outLen)(0.toByte)
+      else Array.tabulate(outLen)(i =>
+        bytes((i.toLong * bytes.length / outLen).toInt))
   }
 
   private val featSchema = StructType(Seq(

@@ -16,6 +16,19 @@ class MultimodalSpec extends SparkSpec {
       == Seq(0.0, 0.0, 0.0, 0.0))
   }
 
+  test("resize maps to fixed length, nearest-neighbor") {
+    val in = (0 until 100).map(_.toByte).toArray
+    val out = Multimodal.MediaCodec.resize(in, 10)
+    assert(out.length == 10)
+    assert(out.toSeq == Seq(0, 10, 20, 30, 40, 50, 60, 70, 80, 90)
+      .map(_.toByte))
+    assert(Multimodal.MediaCodec.resize(Array.empty, 4).toSeq
+      == Seq(0, 0, 0, 0).map(_.toByte))
+    // upscaling also lands on a fixed grid
+    assert(Multimodal.MediaCodec.resize(Array[Byte](1, 2), 4).toSeq
+      == Seq[Byte](1, 1, 2, 2))
+  }
+
   test("frame sampling takes every k-th byte") {
     val frames = Multimodal.MediaCodec.sampleFrames(
       (0 until 100).map(_.toByte).toArray, stride = 16)
