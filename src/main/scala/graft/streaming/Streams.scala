@@ -1,7 +1,20 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed event row for the custom-state operators. */
+case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Open-session state carried across micro-batches (epoch micros). */
+case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+
+/** Emitted closed session. */
+case class SessionOut(user_id: Long, n_events: Long,
+    t_start: java.sql.Timestamp, t_end: java.sql.Timestamp,
+    total_value: Double)
 
 /** Structured-Streaming twins of the Category-H batch operators
   * (SURVEY.md §2.1.H): the same event-stream semantics expressed over
@@ -69,6 +82,54 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type", "event_id", "ts")
+
+  /** Sessionization with EXPLICIT custom state via
+    * flatMapGroupsWithState — the escape hatch for session semantics
+    * `session_window` can't express (e.g. value-dependent gaps, session
+    * caps). Per-key state is one open session; closed sessions emit as
+    * soon as the gap that closes them is seen. The final open session
+    * per user stays in state (would emit on timeout in production —
+    * see the scaladoc note).
+    *
+    * At scale: state size is O(active keys), not O(events); keys
+    * shard across shuffle partitions.
+    */
+  def statefulSessions(events: Dataset[EventRow]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMicros = 1800L * 1000000L
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    def toTs(m: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(m / 1000000L * 1000L)
+      t.setNanos((m % 1000000L).toInt * 1000)
+      t
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EventRow], state: GroupState[SessionState]) =>
+          // micro-batch input is unordered: sort this batch's events
+          val evs = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var open = state.getOption
+          val out = Seq.newBuilder[SessionOut]
+          evs.foreach { e =>
+            val t = micros(e.ts)
+            open match {
+              case Some(s) if t - s.last <= gapMicros =>
+                open = Some(s.copy(last = t, n = s.n + 1,
+                  sum = s.sum + e.value))
+              case Some(s) =>
+                out += SessionOut(uid, s.n, toTs(s.start), toTs(s.last),
+                  math.round(s.sum * 100).toDouble / 100)
+                open = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                open = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          open.foreach(state.update)
+          out.result().iterator
+      }
+  }
 
   /** Watermark late-data drop (twin of stream_late_filter): events
     * older than the watermark delay behind the max seen ts are

@@ -63,6 +63,29 @@ class StreamingSpec extends SparkSpec {
     assert(asSet(stream) == asSet(batch))
   }
 
+  test("flatMapGroupsWithState sessions == batch sessions minus open ones") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(batchEvents)
+    val typed = ms.toDF().as[EventRow]
+    val q = Streams.statefulSessions(typed).writeStream
+      .format("memory").queryName("t_stateful").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = asSet(spark.table("t_stateful"))
+    // batch truth, excluding each user's LAST session (still open in
+    // the stream's state when the batch ends)
+    val batch = graft.operators.EventOps.queries("stream_session")(
+      spark, SparkSpec.sf0001)
+    val lastPerUser = batch.groupBy("user_id")
+      .agg(max("session_id").as("session_id"))
+    val closed = batch.join(lastPerUser, Seq("user_id", "session_id"),
+        "left_anti")
+      .select("user_id", "n_events", "t_start", "t_end", "total_value")
+    assert(streamed == asSet(closed))
+  }
+
   test("dedup: stream emits one row per (user_id, event_type) key") {
     val stream = runStream("t_dedup", "append", Streams.dedup)
     val batch = graft.operators.EventOps.queries("stream_dedup")(
