@@ -99,16 +99,19 @@ object Dedup {
     // output equals the unblocked exact-Jaccard ground truth.
     "dedup_minhash" -> ((s, d) => {
       val sh = shingles(s, d)
-      val seeds = (0 until 16).map(i => (i, i / 2)) // (seed, band)
-      val seedDf = broadcast(
-        s.createDataFrame(seeds).toDF("seed", "band"))
-      val mh = sh.select(col("doc_id"), col("sh"))
-        .crossJoin(seedDf)
-        .groupBy("doc_id", "band", "seed")
-        .agg(min(hash(col("sh"), col("seed"))).as("mh"))
-      val bands = mh.groupBy("doc_id", "band")
-        .agg(min(when(col("seed") % 2 === 0, col("mh"))).as("h0"),
-          min(when(col("seed") % 2 === 1, col("mh"))).as("h1"))
+      // All 16 minhashes as agg COLUMNS of one hash aggregate over the
+      // shingle rows (hash(sh, i) = murmur3 seeded per function) — no
+      // 16x crossJoin row blow-up; the signature matrix costs one pass.
+      val mhCols = (0 until 16).map(i =>
+        min(hash(col("sh"), lit(i))).as(s"mh_$i"))
+      val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+      val bandStructs = (0 until 8).map(b =>
+        struct(lit(b).as("band"), col(s"mh_${2 * b}").as("h0"),
+          col(s"mh_${2 * b + 1}").as("h1")))
+      val bands = mh.select(col("doc_id"),
+          explode(array(bandStructs: _*)).as("bd"))
+        .select(col("doc_id"), col("bd.band").as("band"),
+          col("bd.h0").as("h0"), col("bd.h1").as("h1"))
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band")
             && col("x.h0") === col("y.h0")
