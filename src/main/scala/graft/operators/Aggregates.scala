@@ -101,6 +101,18 @@ object Aggregates {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // PIVOT: event-type counts as columns per user (explicit value
+    // list so the plan needs no discovery pass; na.fill(0) matches the
+    // oracle's count(CASE…)=0 for absent combos).
+    "agg_pivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy("user_id")),
+
     // Explicit GROUPING SETS (SQL-only surface in Spark).
     "agg_grouping_sets" -> ((s, d) => {
       Tables.documents(s, d).createOrReplaceTempView("documents_gs")
@@ -194,6 +206,20 @@ object Aggregates {
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST,
         |         l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT user_id,
+        | CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+        |   AS click,
+        | CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+        |   AS error,
+        | CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |   AS BIGINT) AS purchase,
+        | CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT)
+        |   AS signup,
+        | CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+        |   AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "agg_grouping_sets" ->
       """SELECT lang, source, count(*) AS n_docs,

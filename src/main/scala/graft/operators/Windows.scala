@@ -82,6 +82,19 @@ object Windows {
         .orderBy("c_custkey")
     }),
 
+    // percent_rank / cume_dist: distribution position per nation
+    // partition (exact rationals of rank & count — cross-engine
+    // identical; rounded 6dp defensively).
+    "window_pct" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("c_custkey")
+    }),
+
     // first/last_value over the full partition frame.
     "window_first_last" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -151,6 +164,15 @@ object Windows {
         | CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC)
         |   AS INTEGER) AS bal_quartile
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "window_pct" ->
+      """SELECT c_custkey, c_nationkey,
+        | round(percent_rank() OVER w, 6) AS pr,
+        | round(cume_dist() OVER w, 6) AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |             ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_custkey""".stripMargin,
 
     "window_first_last" ->
       """SELECT DISTINCT user_id,

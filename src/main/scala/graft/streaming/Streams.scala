@@ -33,12 +33,20 @@ case class SessionOut(user_id: Long, n_events: Long,
 object Streams {
 
   /** File-source entry: stream the events table from a directory of
-    * parquet files (schema pinned from a batch read so the stream
-    * never infers). */
+    * parquet files. The schema is pinned from a RAW batch read (ts
+    * arrives as bigint nanos under the nanosAsLong conf — pinning the
+    * post-conversion timestamp schema would mis-read the file), then
+    * the same ns→µs conversion as `Tables.events` is applied on the
+    * stream. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = graft.Tables.events(spark, dir).schema
-    spark.readStream.schema(schema)
-      .parquet(s"$dir/events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // The file source monitors a DIRECTORY; pathGlobFilter pins it to
+    // the events table within the shared scale-factor dir.
+    spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** 1-hour tumbling counts+sums per event type (twin of

@@ -86,6 +86,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == asSet(closed))
   }
 
+  test("file-source stream: tumbling over parquet dir == batch") {
+    val src = Streams.eventsStream(spark, SparkSpec.sf0001)
+    val q = Streams.tumbling(src).writeStream
+      .format("memory").queryName("t_file").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val batch = graft.operators.EventOps.queries("stream_tumbling")(
+      spark, SparkSpec.sf0001)
+    assert(asSet(spark.table("t_file")) == asSet(batch))
+  }
+
   test("dedup: stream emits one row per (user_id, event_type) key") {
     val stream = runStream("t_dedup", "append", Streams.dedup)
     val batch = graft.operators.EventOps.queries("stream_dedup")(
