@@ -83,15 +83,17 @@ object Windows {
     }),
 
     // percent_rank / cume_dist: distribution position per nation
-    // partition (exact rationals of rank & count — cross-engine
-    // identical; rounded 6dp defensively).
+    // partition. NOT rounded: both engines IEEE-divide the same
+    // integer rank/count, so raw doubles are bit-identical — rounding
+    // would actually BREAK parity on exact .5 ties at the rounding
+    // digit (Spark HALF_UP vs DuckDB half-even; hit at sf0.1).
     "window_pct" -> ((s, d) => {
       val w = Window.partitionBy("c_nationkey")
         .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
       Tables.customer(s, d)
         .select(col("c_custkey"), col("c_nationkey"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"))
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
         .orderBy("c_custkey")
     }),
 
@@ -167,8 +169,8 @@ object Windows {
 
     "window_pct" ->
       """SELECT c_custkey, c_nationkey,
-        | round(percent_rank() OVER w, 6) AS pr,
-        | round(cume_dist() OVER w, 6) AS cd
+        | percent_rank() OVER w AS pr,
+        | cume_dist() OVER w AS cd
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey
         |             ORDER BY c_acctbal ASC, c_custkey ASC)
