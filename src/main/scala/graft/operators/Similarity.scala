@@ -64,7 +64,10 @@ object Similarity {
     // Per-query top-5 neighbors with rank, brute force. Cosine is
     // symmetric, so score each unordered pair ONCE (v1 < v2) and
     // mirror the scored rows — halves the O(n²) dot products; the
-    // mirror union is a cheap narrow-row projection.
+    // mirror union is a cheap narrow-row projection. (Measured: a
+    // row_number window over the mirrored rows beats per-group
+    // collect_list+array_sort top-k ~2x here — struct array buffers
+    // don't pay off at this group size.)
     "similarity_topk_per_query" -> ((s, d) => {
       val half = pairs(s, d, col("v1") < col("v2"))
         .select("v1", "v2", "cos")
