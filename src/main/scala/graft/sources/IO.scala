@@ -46,4 +46,17 @@ object IO {
   def writeJson(df: DataFrame, path: String,
       partitionBy: Seq[String] = Nil): Unit =
     writer(df, partitionBy).json(path)
+
+  /** Persist as a bucketed + sorted managed table: co-locates rows by
+    * join key so equi-joins between tables bucketed the same way need
+    * NO shuffle (SortMergeJoin reads pre-partitioned, pre-sorted
+    * buckets). The lakehouse layout for the repeated big-big joins of
+    * a 100-TB star schema — see BucketingSpec for the plan proof. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      bucketCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

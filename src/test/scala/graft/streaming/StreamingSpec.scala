@@ -40,6 +40,17 @@ class StreamingSpec extends SparkSpec {
   private def asSet(df: DataFrame): Set[String] =
     df.collect().map(_.mkString("|")).toSet
 
+  /** Batch-truth sessions, excluding each user's last (still open in
+    * a stream's state when input ends). */
+  private lazy val closedBatchSessions: Set[String] = {
+    val batch = graft.operators.EventOps.queries("stream_session")(
+      spark, SparkSpec.sf0001)
+    val lastPerUser = batch.groupBy("user_id")
+      .agg(max("session_id").as("session_id"))
+    asSet(batch.join(lastPerUser, Seq("user_id", "session_id"), "left_anti")
+      .select("user_id", "n_events", "t_start", "t_end", "total_value"))
+  }
+
   test("tumbling: stream == batch") {
     val stream = runStream("t_tumbling", "complete",
       Streams.tumbling)
@@ -74,16 +85,26 @@ class StreamingSpec extends SparkSpec {
       .format("memory").queryName("t_stateful").outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
     val streamed = asSet(spark.table("t_stateful"))
-    // batch truth, excluding each user's LAST session (still open in
-    // the stream's state when the batch ends)
-    val batch = graft.operators.EventOps.queries("stream_session")(
-      spark, SparkSpec.sf0001)
-    val lastPerUser = batch.groupBy("user_id")
-      .agg(max("session_id").as("session_id"))
-    val closed = batch.join(lastPerUser, Seq("user_id", "session_id"),
-        "left_anti")
-      .select("user_id", "n_events", "t_start", "t_end", "total_value")
-    assert(streamed == asSet(closed))
+    assert(streamed == closedBatchSessions)
+  }
+
+  test("stateful sessions carry state ACROSS micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // Feed the same events in TWO micro-batches split mid-stream; the
+    // closed-session output must equal the single-batch run — i.e.
+    // open sessions survive in state and close correctly later.
+    val (b1, b2) = batchEvents.splitAt(batchEvents.length / 2)
+    val ms = MemoryStream[Ev]
+    val q = Streams.statefulSessions(ms.toDF().as[EventRow]).writeStream
+      .format("memory").queryName("t_stateful2").outputMode("append").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val twoBatch = asSet(spark.table("t_stateful2"))
+    assert(twoBatch == closedBatchSessions)
   }
 
   test("file-source stream: tumbling over parquet dir == batch") {
