@@ -101,6 +101,35 @@ object Aggregates {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // Filtered + boolean aggregates: count_if / bool_or / bool_and.
+    "agg_filtered_bool" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count_if(col("value") > 100).as("n_big"),
+          bool_or(col("value") > 190).as("any_huge"),
+          bool_and(col("value") > 0.1).as("all_pos"))
+        .orderBy("event_type")),
+
+    // String aggregation (listagg/string_agg analog) with explicit
+    // element order for cross-engine determinism.
+    "agg_listagg" -> ((s, d) =>
+      Tables.nation(s, d)
+        .groupBy("n_regionkey")
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name"))))
+          .as("names"))
+        .orderBy("n_regionkey")),
+
+    // Bitwise aggregates over the integer part of value (floor first:
+    // DuckDB ROUNDS double->int casts, Spark truncates).
+    "agg_bitwise" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("v", floor(col("value")).cast("long"))
+        .groupBy("event_type")
+        .agg(bit_and(col("v")).as("ba"),
+          bit_or(col("v")).as("bo"),
+          bit_xor(col("v")).as("bx"))
+        .orderBy("event_type")),
+
     // PIVOT: event-type counts as columns per user (explicit value
     // list so the plan needs no discovery pass; na.fill(0) matches the
     // oracle's count(CASE…)=0 for absent combos).
@@ -206,6 +235,25 @@ object Aggregates {
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST,
         |         l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "agg_filtered_bool" ->
+      """SELECT event_type,
+        | CAST(count(*) FILTER (WHERE value > 100) AS BIGINT) AS n_big,
+        | bool_or(value > 190) AS any_huge,
+        | bool_and(value > 0.1) AS all_pos
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_listagg" ->
+      """SELECT n_regionkey,
+        | string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "agg_bitwise" ->
+      """SELECT event_type,
+        | bit_and(CAST(floor(value) AS BIGINT)) AS ba,
+        | bit_or(CAST(floor(value) AS BIGINT)) AS bo,
+        | bit_xor(CAST(floor(value) AS BIGINT)) AS bx
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "agg_pivot" ->
       """SELECT user_id,
