@@ -35,7 +35,29 @@ object SparkEntry {
   val oracleSql: Map[String, String] =
     registry.iterator.map(_._2).reduce(_ ++ _)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("agg_pricing_summary")(spark, "/root/testdata/sf0.001")
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. A cross-subsystem composite: star-schema broadcast joins
+    * → revenue aggregation → window rank of nations within region —
+    * one pipeline through scans, joins, aggs, and windows. */
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val revenue = Tables.customer(spark, d)
+      .join(Tables.orders(spark, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, d), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(spark, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        countDistinct("o_orderkey").as("n_orders"))
+    val w = Window.partitionBy("r_name")
+      .orderBy(col("revenue").desc, col("n_name"))
+    revenue
+      .withColumn("rank_in_region", row_number().over(w))
+      .orderBy("r_name", "rank_in_region")
+  }
 }
