@@ -1,0 +1,58 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Source/sink roundtrips for the non-parquet formats. */
+class IOSpec extends SparkSpec {
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-io").toString
+    s"$d/$name"
+  }
+
+  test("csv roundtrip preserves rows under an explicit schema") {
+    val nation = graft.Tables.nation(spark, SparkSpec.sf0001)
+    val path = tmp("nation_csv")
+    IO.writeCsv(nation, path)
+    val back = IO.readCsv(spark, path,
+      schemaDdl = Some("n_nationkey INT, n_name STRING, n_regionkey INT"))
+    assert(back.count() == 25)
+    assert(back.schema.map(_.dataType.typeName).toSeq
+      == Seq("integer", "string", "integer"))
+    val names = back.select("n_name").orderBy("n_name")
+      .collect().map(_.getString(0))
+    assert(names.length == 25 && names.head == "NATION_0")
+  }
+
+  test("json roundtrip preserves values and nested-free schema") {
+    val docs = graft.Tables.documents(spark, SparkSpec.sf0001).limit(50)
+    val path = tmp("docs_json")
+    IO.writeJson(docs, path)
+    val back = IO.readJson(spark, path,
+      schemaDdl = Some(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING," +
+          " n_chars BIGINT"))
+    assert(back.count() == 50)
+    val chk = back.agg(sum(length(col("text"))).as("c"),
+        sum("n_chars").as("n")).collect()(0)
+    assert(chk.getLong(0) == chk.getLong(1)) // n_chars == len(text)
+  }
+
+  test("partitioned parquet write prunes directories on read") {
+    val docs = graft.Tables.documents(spark, SparkSpec.sf0001)
+    val path = tmp("docs_part")
+    IO.writeParquet(docs, path, partitionBy = Seq("lang"))
+    // partition dirs exist
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("lang=")))
+    // partition filter prunes to one dir's rows
+    val en = IO.readParquet(spark, path).filter(col("lang") === "en")
+    val plan = en.queryExecution.executedPlan.toString
+    assert(en.count() ==
+      docs.filter(col("lang") === "en").count())
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      plan.take(400))
+  }
+}
