@@ -42,6 +42,12 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Register every table as a temp view so the whole catalog is
+    * queryable with plain `spark.sql("SELECT … FROM lineitem")` — the
+    * SQL face of the engine (same plans as the DataFrame face). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+
   /** events with `ts` converted ns→µs TimestampType (UTC session). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // Runtime-settable; driver-owned Verify/Bench sessions are built
