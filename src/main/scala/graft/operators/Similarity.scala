@@ -127,8 +127,81 @@ object Similarity {
         .filter(col("rk") <= 3)
         .select("v1", "rk", "v2", "cos")
         .orderBy("v1", "rk")
+    }),
+
+    // ANN via IVF: coarse-quantize into ~sqrt-scale cells (one Lloyd
+    // step from deterministic seeds), probe each query's 2 nearest
+    // cells, exact cosine inside the probed cells, top-3. No-oracle
+    // (approximate); AnnSpec measures recall. The per-cell join is
+    // the IVF scale shape: candidates ~ n * nprobe / k, never n².
+    "ann_ivf" -> ((s, d) => {
+      val n = Tables.embeddings(s, d).count()
+      val k = math.max(4, math.sqrt(n / 2.0).ceil.toInt)
+      val (assigned, means) = ivfIndex(s, d, k)
+      val wProbe = Window.partitionBy("vec_id")
+        .orderBy(col("pcos").desc, col("pcell"))
+      val probes = assigned.crossJoin(
+          broadcast(means.select(col("cell").as("pcell"),
+            col("centroid"), col("cnsq"))))
+        .withColumn("pcos",
+          vecDot(col("embedding"), col("centroid"))
+            / sqrt(col("nsq") * col("cnsq")))
+        .withColumn("prk", row_number().over(wProbe))
+        .filter(col("prk") <= 2)
+        .select(col("vec_id").as("v1"), col("embedding").as("ea"),
+          col("nsq").as("na"), col("pcell"))
+      val members = assigned.select(col("vec_id").as("v2"),
+        col("embedding").as("eb"), col("nsq").as("nb"),
+        col("cell").as("pcell"))
+      val wTop = Window.partitionBy("v1")
+        .orderBy(col("cos").desc, col("v2"))
+      probes.join(members, Seq("pcell"))
+        .filter(col("v1") =!= col("v2"))
+        .withColumn("cos", round(
+          vecDot(col("ea"), col("eb")) / sqrt(col("na") * col("nb")), 4))
+        .select("v1", "v2", "cos")
+        .dropDuplicates("v1", "v2")
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 3)
+        .select("v1", "rk", "v2", "cos")
+        .orderBy("v1", "rk")
     })
   )
+
+  /** IVF index build: deterministic seeds (k lowest vec_ids) + one
+    * Lloyd step (assign to nearest centroid by cosine, recompute
+    * element-wise mean, re-assign). Returns (assignments with columns
+    * vec_id/embedding/nsq/cell, centroid means with cell/centroid/
+    * cnsq). */
+  def ivfIndex(s: SparkSession, d: String,
+      k: Int): (DataFrame, DataFrame) = {
+    GraftFunctions.ensureRegistered(s)
+    val v = vecs(s, d)
+    def nearest(cents: DataFrame): DataFrame =
+      v.crossJoin(broadcast(cents))
+        .withColumn("cos",
+          vecDot(col("embedding"), col("centroid"))
+            / sqrt(col("nsq") * col("cnsq")))
+        .groupBy("vec_id", "embedding", "nsq")
+        .agg(max_by(col("cell"),
+          struct(col("cos"), -col("cell"))).as("cell"))
+    def meansOf(assigned: DataFrame): DataFrame = assigned
+      .select(col("cell"), posexplode(col("embedding")))
+      .groupBy("cell", "pos").agg(avg(col("col")).as("m"))
+      .groupBy("cell")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m)))," +
+        " s -> s.m)").as("centroid"))
+      .withColumn("cnsq", vecDot(col("centroid"), col("centroid")))
+    val seeds = v.orderBy("vec_id").limit(k)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("cell",
+        (row_number().over(Window.orderBy("vec_id")) - 1))
+      .select(col("cell"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centroid"))
+      .withColumn("cnsq", vecDot(col("centroid"), col("centroid")))
+    val means = meansOf(nearest(seeds)) // one Lloyd step
+    (nearest(means), means)
+  }
 
   val oracles: Map[String, String] = Map(
     "similarity_knn" ->

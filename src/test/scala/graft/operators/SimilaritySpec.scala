@@ -18,6 +18,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.35, f"recall $recall%.3f too low")
   }
 
+  test("ann_ivf recall@3 vs brute force is useful (> 0.3)") {
+    val sf = SparkSpec.sf0001
+    val brute = Similarity.queries("similarity_topk_per_query")(spark, sf)
+      .filter("rk <= 3").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = Similarity.queries("ann_ivf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    info(f"ann_ivf recall@3 = $recall%.3f")
+    assert(recall > 0.3, f"recall $recall%.3f too low")
+  }
+
+  test("ivf cells partition the collection") {
+    val (assigned, means) = Similarity.ivfIndex(spark, SparkSpec.sf0001, 16)
+    assert(assigned.count() == 500)          // every vector assigned
+    assert(assigned.select("vec_id").distinct().count() == 500)
+    assert(means.count() <= 16)              // at most k non-empty cells
+  }
+
   test("similarity_topk_per_query: every vector gets <= 5 ranked rows") {
     val rows = Similarity.queries("similarity_topk_per_query")(
       spark, SparkSpec.sf0001).collect()
