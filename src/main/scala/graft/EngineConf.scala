@@ -23,6 +23,35 @@ object EngineConf {
   val TargetShufflePartitionBytes: Long = 256L << 20
   val MaxScanPartitionBytes: Long = 128L << 20
 
+  private val rowCountMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Table cardinality from parquet footer metadata — the stat a
+    * planner sizes indexes with (LSH bucket fan-out, IVF cell count).
+    * A footer read is O(files) driver-side metadata, NOT a Spark job:
+    * replacing the previous `df.count()` here removes one full
+    * scan-job per ANN query. Memoized per path (immutable testdata;
+    * a real catalog would invalidate on commit). */
+  def parquetRowCount(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long =
+    rowCountMemo.getOrElseUpdate(path, {
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).toSeq.map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+        else Seq(p)
+      files.map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally r.close()
+      }.sum
+    })
+
   /** Post-shuffle partition count for an expected shuffle volume,
     * floored at the parallelism so small jobs still use all cores. */
   def shufflePartitionsFor(shuffleBytes: Long, parallelism: Int): Int =

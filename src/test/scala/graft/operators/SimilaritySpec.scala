@@ -2,32 +2,51 @@ package graft.operators
 
 import graft.SparkSpec
 
-/** ANN quality: multi-table LSH recall against the brute-force twin,
-  * plus structural invariants of the top-k outputs. */
+/** ANN quality: multi-table multi-probe LSH and IVF recall against
+  * the brute-force twin, LSH-blocked embedding dedup coverage, plus
+  * structural invariants of the top-k outputs. Recall here is
+  * DETERMINISTIC per dataset (fixed-seed hyperplanes/seeds), so these
+  * are regression pins, not flaky statistical tests. */
 class SimilaritySpec extends SparkSpec {
 
-  test("ann_lsh recall@3 vs brute force is useful (> 0.35)") {
-    val sf = SparkSpec.sf0001
-    val brute = Similarity.queries("similarity_topk_per_query")(spark, sf)
+  private def topkPairs(sf: String): Set[(Long, Long)] =
+    Similarity.queries("similarity_topk_per_query")(spark, sf)
       .filter("rk <= 3").collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val ann = Similarity.queries("ann_lsh")(spark, sf).collect()
+
+  private def recall(name: String, sf: String): Double = {
+    val brute = topkPairs(sf)
+    val ann = Similarity.queries(name)(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val recall = (brute & ann).size.toDouble / brute.size
-    info(f"ann_lsh recall@3 = $recall%.3f (candidates pruned vs n^2)")
-    assert(recall > 0.35, f"recall $recall%.3f too low")
+    (brute & ann).size.toDouble / brute.size
   }
 
-  test("ann_ivf recall@3 vs brute force is useful (> 0.3)") {
-    val sf = SparkSpec.sf0001
-    val brute = Similarity.queries("similarity_topk_per_query")(spark, sf)
-      .filter("rk <= 3").collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val ann = Similarity.queries("ann_ivf")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val recall = (brute & ann).size.toDouble / brute.size
-    info(f"ann_ivf recall@3 = $recall%.3f")
-    assert(recall > 0.3, f"recall $recall%.3f too low")
+  test("ann_lsh recall@3 vs brute force >= 0.9") {
+    Seq(SparkSpec.sf0001, SparkSpec.sf001).foreach { sf =>
+      val r = recall("ann_lsh", sf)
+      info(f"ann_lsh recall@3 = $r%.3f at $sf")
+      assert(r >= 0.9, f"recall $r%.3f too low at $sf")
+    }
+  }
+
+  test("ann_ivf recall@3 vs brute force >= 0.9") {
+    Seq(SparkSpec.sf0001, SparkSpec.sf001).foreach { sf =>
+      val r = recall("ann_ivf", sf)
+      info(f"ann_ivf recall@3 = $r%.3f at $sf")
+      assert(r >= 0.9, f"recall $r%.3f too low at $sf")
+    }
+  }
+
+  test("dedup_embed_ann == dedup_embed exactly (block recall 1.0)") {
+    Seq(SparkSpec.sf0001, SparkSpec.sf001).foreach { sf =>
+      val exact = Dedup.queries("dedup_embed")(spark, sf).collect()
+        .map(_.toString).toSeq
+      val blocked = Dedup.queries("dedup_embed_ann")(spark, sf).collect()
+        .map(_.toString).toSeq
+      assert(exact.nonEmpty)
+      assert(blocked == exact,
+        s"LSH blocking missed/added pairs at $sf")
+    }
   }
 
   test("ivf cells partition the collection") {
