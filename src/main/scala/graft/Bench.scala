@@ -1,6 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Suite benchmark: times every declared query (count() action) at
+  * the driver's session shape and prints ONE JSON line.
+  *
+  * Methodology (hardened after BENCH_r02):
+  *  - Queries run in SORTED key order — reproducible across runs and
+  *    rounds, unlike hash-map iteration order.
+  *  - Shared cache groups ([[Cache]]) are released as soon as their
+  *    last consumer (in sorted order) has run, so persisted blocks
+  *    from the heavy similarity/dedup cluster don't inflate every
+  *    query scheduled after it.
+  *  - The 10 most expensive queries get a second timed rep (caches
+  *    still warm where applicable), reported separately as "rep2" —
+  *    the rep1−rep2 gap attributes shared-cache build cost, and rep2
+  *    is the marginal per-query cost a long-lived session would see.
+  */
 object Bench {
+
+  /** Cache-group release points: after this query completes (sorted
+    * iteration order), the named [[Cache]] prefixes have no further
+    * consumers. "" = everything (sim.vecs / sim.halfPairs live until
+    * the last similarity query). */
+  private val releaseAfter: Map[String, Seq[String]] = Map(
+    "ann_ivf" -> Seq("sim.ivf"),
+    "dedup_embed_ann" -> Seq("sim.lsh"),
+    "dedup_near" -> Seq("dedup."),
+    "similarity_topk_per_query" -> Seq(""))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,15 +43,35 @@ object Bench {
     Tables.names.foreach(n =>
       try { Tables.table(spark, sfDir, n).count() }
       catch { case _: Throwable => () })
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def timed(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val rep1 = names.map { name =>
+      val t = timed(name)
+      releaseAfter.get(name)
+        .foreach(_.foreach(p => Cache.clear(spark, p)))
+      name -> t
+    }
+    val top10 = rep1.sortBy(-_._2).take(10).map(_._1).sorted
+    val rep2 = top10.map(n => n -> timed(n))
+    Cache.clear(spark)
+
+    // 3-dp floats keep the line short, and the headline total goes
+    // LAST: harnesses that keep only the tail of a long line still
+    // see it (and a shorter line parses whole more often).
+    def json(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => f"""\"$k\":$v%.3f""" }
+        .mkString("{", ",", "}")
+    val total = rep1.map(_._2).sum
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
+      s""""queries":${json(rep1)},"rep2":${json(rep2)},""" +
+      f""""value":$total%.3f}""")
     spark.stop()
   }
 }

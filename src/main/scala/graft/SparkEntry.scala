@@ -23,7 +23,8 @@ object SparkEntry {
     (operators.Similarity.queries, operators.Similarity.oracles),
     (operators.Multimodal.queries, operators.Multimodal.oracles),
     (operators.Udx.queries, operators.Udx.oracles),
-    (operators.Sampling.queries, operators.Sampling.oracles)
+    (operators.Sampling.queries, operators.Sampling.oracles),
+    (operators.GeoOps.queries, operators.GeoOps.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

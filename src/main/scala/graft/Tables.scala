@@ -48,11 +48,29 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
 
+  /** LOUD SIDE-EFFECT, by design: reading `events` requires the
+    * session conf `spark.sql.legacy.parquet.nanosAsLong=true` (Spark
+    * 4.x otherwise refuses the file's timestamp[ns] column), and the
+    * conf must still be set when the LAZY plan is analyzed/executed —
+    * a set-then-restore would race the deferred read. So this flips
+    * the calling session's conf ONCE and leaves it on for the
+    * session's lifetime. Consequence for callers: after any events
+    * read, OTHER parquet sources with ns timestamps in the same
+    * session also arrive as bigint nanos instead of erroring — every
+    * loader in this engine (only this file) owns its own conversion,
+    * so inside the engine the flag is invisible. Scope: per-session
+    * runtime conf; other sessions are untouched. */
+  def ensureNanosAsLong(spark: SparkSession): Unit = {
+    val k = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(k).contains("true"))
+      spark.conf.set(k, "true")
+  }
+
   /** events with `ts` converted ns→µs TimestampType (UTC session). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // Runtime-settable; driver-owned Verify/Bench sessions are built
     // without it, so the loader must set it on every call path.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosAsLong(spark)
     spark.read.parquet(path(dir, "events"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -49,10 +49,14 @@ object Geo {
       floor(lon / cellDeg).cast("long"))
 
   /** Per-entity track length: sum of consecutive-point hops, ordered
-    * by ts. Input needs (entityCol, ts, lat, lon); one window + one
-    * agg, both partitioned by entity — scales by key. */
-  def trackLength(df: DataFrame, entityCol: String): DataFrame = {
-    val w = Window.partitionBy(entityCol).orderBy("ts")
+    * by `orderCols` (default ts; pass a unique tie-break for a total
+    * order when ts can repeat). Input needs (entityCol, orderCols,
+    * lat, lon); one window + one agg, both partitioned by entity —
+    * scales by key. */
+  def trackLength(df: DataFrame, entityCol: String,
+      orderCols: Seq[String] = Seq("ts")): DataFrame = {
+    val w = Window.partitionBy(entityCol)
+      .orderBy(orderCols.map(col): _*)
     df.withColumn("prev_lat", lag(col("lat"), 1).over(w))
       .withColumn("prev_lon", lag(col("lon"), 1).over(w))
       .withColumn("hop_km",

@@ -22,8 +22,12 @@ import org.apache.spark.sql.types._
   * (double)b[i], summed left-to-right — so results stay bit-equal to
   * both the HOF version and DuckDB's `CAST(… AS DOUBLE[])` folds, and
   * 4-dp rounds remain hash-stable. Arrays shorter than the other side
-  * dot over the common prefix; null element ⇒ null result (the
-  * fixtures carry neither).
+  * dot over the common prefix. A null ARRAY yields null (standard
+  * null-safe binary semantics); null ELEMENTS are NOT checked — they
+  * read as garbage primitives, so inputs must carry none (true of
+  * every fixture column and of `transform` outputs over them; a
+  * containsNull rejection here would break those plans for no
+  * data-level gain).
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {

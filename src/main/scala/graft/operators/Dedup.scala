@@ -41,21 +41,16 @@ object Dedup {
         .distinct()
     }
 
-  /** Exact Jaccard over distinct-shingle sets for the given candidate
-    * pairs (columns d1 < d2), preserving any extra columns on cand. */
-  private def jaccardFor(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val a = sh.select(col("doc_id").as("d1"), col("sh"))
-    val b = sh.select(col("doc_id").as("d2"), col("sh"))
-    cand.join(a, "d1").join(b, Seq("d2", "sh"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "d1")
-        .withColumnRenamed("nsh", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2")
-        .withColumnRenamed("nsh", "n2"), "d2")
-      .withColumn("jac", round(col("inter").cast("double")
-        / (col("n1") + col("n2") - col("inter")), 4))
-  }
+  /** Per-doc distinct-shingle SET as one array row — the verify-side
+    * representation: candidate pairs broadcast-join their two set
+    * rows and compute the exact Jaccard ROW-LOCALLY
+    * (`array_intersect`), so verification costs zero exchanges
+    * beyond the candidate dedup. Persisted alongside `shingles`. */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    graft.Cache.cached(s, d, "dedup.shingleSets") {
+      shingles(s, d).groupBy("doc_id")
+        .agg(collect_set(col("sh")).as("shset"))
+    }
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: survivor = min doc_id per text (deterministic pick,
@@ -104,6 +99,15 @@ object Dedup {
     // P[miss] for J=0.8 is (1-0.8^2)^8 ~ 2.8e-4 per pair; exact
     // verification makes every emitted pair true, so at t2 scale the
     // output equals the unblocked exact-Jaccard ground truth.
+    //
+    // Exchange budget (the round-2 version paid 6 shuffles): the
+    // band self-join broadcasts one side, the candidate dedup is one
+    // tiny exchange over (d1, d2) pairs, and the Jaccard verify is
+    // two BROADCAST joins of the candidate set against the per-doc
+    // shingle-set rows with the intersection computed row-locally —
+    // candidates surviving banding are rare BY CONSTRUCTION (that is
+    // the point of banding), so broadcasting them holds at any corpus
+    // scale where near-dup pairs are a small fraction of docs.
     "dedup_minhash" -> ((s, d) => {
       val sh = shingles(s, d)
       // All 16 minhashes as agg COLUMNS of one hash aggregate over the
@@ -119,14 +123,23 @@ object Dedup {
           explode(array(bandStructs: _*)).as("bd"))
         .select(col("doc_id"), col("bd.band").as("band"),
           col("bd.h0").as("h0"), col("bd.h1").as("h1"))
-      val cand = bands.as("x").join(bands.as("y"),
+      val cand = broadcast(bands.as("x")).join(bands.as("y"),
           col("x.band") === col("y.band")
             && col("x.h0") === col("y.h0")
             && col("x.h1") === col("y.h1")
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
-      jaccardFor(cand, sh)
+      val sets = shingleSets(s, d)
+      broadcast(broadcast(cand)
+          .join(sets.select(col("doc_id").as("d1"),
+            col("shset").as("set1")), "d1"))
+        .join(sets.select(col("doc_id").as("d2"),
+          col("shset").as("set2")), "d2")
+        .withColumn("inter",
+          size(array_intersect(col("set1"), col("set2"))))
+        .withColumn("jac", round(col("inter").cast("double")
+          / (size(col("set1")) + size(col("set2")) - col("inter")), 4))
         .filter(col("jac") >= 0.8)
         .select("d1", "d2", "jac")
         .orderBy("d1", "d2")
@@ -168,44 +181,47 @@ object Dedup {
         .orderBy("v1", "v2")),
 
     // The 100-TB twin of dedup_embed: multi-table hyperplane-LSH
-    // blocking (Hamming-1 probe on one side of the bucket join) finds
-    // candidate pairs in O(n · occupancy · tables), then exact cosine
-    // verifies — the dedup_minhash candidate→verify pattern applied
-    // to vectors. Oracle = the SAME SQL as dedup_embed: with the
-    // tuned table count the deterministic seed-42 blocking covers
-    // every qualifying pair on the fixtures (DedupSpec pins block
-    // recall 1.0), so output hash-matches the exact baseline.
+    // blocking (the SHARED Similarity.lshCandidates index, Hamming-1
+    // probe on every table) finds candidate pairs in
+    // O(n · occupancy · tables), then exact cosine verifies — the
+    // dedup_minhash candidate→verify pattern applied to vectors.
+    // Oracle = the SAME SQL as dedup_embed: with the tuned table
+    // count the deterministic fixed-seed blocking covers every
+    // qualifying pair on the fixtures (SimilaritySpec pins block
+    // recall 1.0 plus a margin check at cos ≥ 0.40), so output
+    // hash-matches the exact baseline. Contingency if the driver ever
+    // moves t2 to a new SF where coverage breaks: demote this key to
+    // no-oracle and keep the equality spec at the fixture SFs.
     // Threshold honesty: cos 0.45 is a 63° angle — a WEAK similarity,
     // the adversarial case for LSH; real near-dup embeddings sit at
     // cos ≥ 0.9 where far fewer tables cover.
+    //
+    // No candidate distinct(): duplicate collisions re-score a cheap
+    // vecDot instead of paying a full exchange over the candidate
+    // set; the dedup happens after the cos ≥ 0.45 filter, where a
+    // handful of rows remain.
     "dedup_embed_ann" -> ((s, d) => {
       val n = EngineConf.parquetRowCount(s, s"$d/embeddings.parquet")
-      val bits = Similarity.lshBits(n)
-      val sigs = Similarity.lshBuckets(s, d,
-        nTables = 12, bits = bits, seed = 42L)
-      val probeCols = (lit(0L) +: (0 until bits).map(i => lit(1L << i)))
-        .map(m => col("bucket").bitwiseXOR(m))
-      val x = sigs.select(col("vec_id").as("v1"), col("tbl"),
-        explode(array(probeCols: _*)).as("bucket"))
-      val y = sigs.select(col("vec_id").as("v2"), col("tbl"),
-        col("bucket"))
-      val cand = x.join(y, Seq("tbl", "bucket"))
-        .filter(col("v1") < col("v2"))
-        .select("v1", "v2").distinct()
-      val e = Similarity.vecs(s, d)
-      val a = e.select(col("vec_id").as("v1"), col("embedding").as("ea"),
-        col("nsq").as("na"))
-      val b = e.select(col("vec_id").as("v2"), col("embedding").as("eb"),
-        col("nsq").as("nb"))
-      cand.join(a, "v1").join(b, "v2")
-        .withColumn("cos", round(
-          GraftFunctions.vecDot(col("ea"), col("eb"))
-            / sqrt(col("na") * col("nb")), 4))
-        .filter(col("cos") >= 0.45)
-        .select("v1", "v2", "cos")
-        .orderBy("v1", "v2")
+      embedAnnPairs(s, d, Similarity.LshTables, Similarity.lshBits(n),
+        Similarity.LshSeed, Similarity.DedupH1Tables, threshold = 0.45)
     })
   )
+
+  /** The dedup_embed_ann pipeline, parameterized so the LshSweep tool
+    * can measure pair coverage of candidate configs with the exact
+    * code the declared query runs. */
+  private[operators] def embedAnnPairs(s: SparkSession, d: String,
+      nTables: Int, bits: Int, seed: Long, nH1: Int,
+      threshold: Double): DataFrame =
+    Similarity.lshCandidates(s, d, nTables, bits, seed, nH1)
+      .filter(col("v1") < col("v2"))
+      .withColumn("cos", round(
+        GraftFunctions.vecDot(col("ea"), col("eb"))
+          / sqrt(col("na") * col("nb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("v1", "v2", "cos")
+      .dropDuplicates("v1", "v2")
+      .orderBy("v1", "v2")
 
   /** 64-bit SimHash per doc over whitespace tokens.
     *

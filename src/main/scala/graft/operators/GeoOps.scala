@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.Geo
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Geo/transit queries — the reference's actual domain (AIS vessel
+  * analytics: per-vessel track lengths, zone transit counts;
+  * SURVEY.md §0.1 and §7 open items).
+  *
+  * The testdata carries no lat/lon, so positions are DERIVED from
+  * events deterministically with pure integer arithmetic
+  * (`event_id · prime mod range`, then one exact decimal shift) —
+  * bit-identical in Spark and DuckDB, so the only cross-engine float
+  * hazard left is libm transcendentals inside haversine, which differ
+  * by ≤1 ulp and vanish under the 3-dp round (SURVEY §2.0 rule 2).
+  * The event stream then reads as an AIS feed: user_id = vessel,
+  * ts = position-report time, (lat, lon) = position.
+  *
+  * Scale shape: track length is one window + one agg, both
+  * partitioned by entity; zone counts are a single partial+final
+  * aggregation over grid cells. Both scale by key with no all-pairs
+  * or driver-side work.
+  */
+object GeoOps {
+
+  /** Deterministic pseudo-positions: two coprime multipliers walk the
+    * event_id space so consecutive points hop pseudo-randomly across
+    * the globe. lat ∈ [-90, 90), lon ∈ [-180, 180), centi-degree
+    * resolution. */
+  private def withPos(df: DataFrame): DataFrame = df
+    .withColumn("lat",
+      (col("event_id") * 7919 % 18000) / 100.0 - 90.0)
+    .withColumn("lon",
+      (col("event_id") * 104729 % 36000) / 100.0 - 180.0)
+
+  val queries: Map[String, Q] = Map(
+    // Per-vessel voyage length: haversine sum over consecutive
+    // position reports, ordered by (ts, event_id) — a total order
+    // ((user_id, ts) is unique in the fixtures; event_id breaks any
+    // future tie portably since DuckDB sorts ns-precision ts while
+    // Spark sorts µs).
+    "geo_track_length" -> ((s, d) =>
+      Geo.trackLength(withPos(Tables.events(s, d)), "user_id",
+          orderCols = Seq("ts", "event_id"))
+        .orderBy("user_id")),
+
+    // Zone transit counts: 30° grid cells, events + distinct vessels
+    // per cell — integer outputs, no float hazard at all.
+    "geo_zone_counts" -> ((s, d) =>
+      withPos(Tables.events(s, d))
+        .withColumn("zone", Geo.gridCell(col("lat"), col("lon"), 30.0))
+        .groupBy("zone")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("zone"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Mirrors Geo.haversineKm / Geo.trackLength arithmetic exactly:
+    // radians(Δ)/2 inside sin, pow(·, 2), 2·R·asin(sqrt(a)).
+    "geo_track_length" ->
+      """WITH pos AS (
+        |  SELECT user_id, ts, event_id,
+        |    (event_id * 7919 % 18000) / 100.0 - 90.0 AS lat,
+        |    (event_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+        |  FROM events
+        |), hops AS (
+        |  SELECT user_id, lat, lon,
+        |    lag(lat) OVER win AS prev_lat,
+        |    lag(lon) OVER win AS prev_lon
+        |  FROM pos
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id, count(*) AS n_points,
+        |  round(sum(CASE WHEN prev_lat IS NULL THEN 0.0 ELSE
+        |    2 * 6371.0088 * asin(sqrt(
+        |      pow(sin(radians(lat - prev_lat) / 2), 2) +
+        |      cos(radians(prev_lat)) * cos(radians(lat)) *
+        |      pow(sin(radians(lon - prev_lon) / 2), 2)))
+        |  END), 3) AS track_km
+        |FROM hops GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "geo_zone_counts" ->
+      """SELECT
+        |  CAST(floor(((event_id * 7919 % 18000) / 100.0 - 90.0)
+        |    / 30.0) AS BIGINT) || ':' ||
+        |  CAST(floor(((event_id * 104729 % 36000) / 100.0 - 180.0)
+        |    / 30.0) AS BIGINT) AS zone,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY zone""".stripMargin
+  )
+}

@@ -21,10 +21,20 @@ object Skew {
 
   def saltedJoin(fact: DataFrame, dim: DataFrame, joinKey: String,
       saltFrom: String, saltBuckets: Int): DataFrame = {
-    val salted = fact.withColumn("_salt",
+    // saltFrom must be a DIFFERENT, higher-cardinality column than the
+    // join key: a salt derived from the join key itself is constant
+    // per key, so the hot key's rows would still land in one task —
+    // a silent no-op of the whole mitigation.
+    require(saltFrom != joinKey,
+      s"saltFrom must differ from joinKey '$joinKey': a salt that is " +
+        "a function of the join key cannot spread a hot key")
+    // Fresh name so a real `_salt` column on either input can't be
+    // captured by the join condition.
+    val salt = s"_salt_${java.util.UUID.randomUUID.toString.take(8)}"
+    val salted = fact.withColumn(salt,
       pmod(hash(col(saltFrom)), lit(saltBuckets)))
-    val replicated = dim.withColumn("_salt",
+    val replicated = dim.withColumn(salt,
       explode(sequence(lit(0), lit(saltBuckets - 1))))
-    salted.join(replicated, Seq(joinKey, "_salt")).drop("_salt")
+    salted.join(replicated, Seq(joinKey, salt)).drop(salt)
   }
 }

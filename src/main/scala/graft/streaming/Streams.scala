@@ -39,7 +39,8 @@ object Streams {
     * the same ns→µs conversion as `Tables.events` is applied on the
     * stream. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Session-lifetime conf flip, documented at Tables.ensureNanosAsLong.
+    graft.Tables.ensureNanosAsLong(spark)
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // The file source monitors a DIRECTORY; pathGlobFilter pins it to
     // the events table within the shared scale-factor dir.
