@@ -54,7 +54,39 @@ object GeoOps {
         .groupBy("zone")
         .agg(count(lit(1)).as("n_events"),
           countDistinct("user_id").as("n_users"))
-        .orderBy("zone"))
+        .orderBy("zone")),
+
+    // Voyage segmentation — THE core ShippingLanes transit op: split
+    // each vessel's position stream at >30-min report gaps (the same
+    // sessionization as stream_session), then measure each voyage
+    // (points + haversine length). Gap arithmetic is integer µs on
+    // both engines (DuckDB reads ns, but the fixture is µs-aligned).
+    // Two windows + one agg, ALL partitioned by user_id — the voyage
+    // window is a sub-partition, so everything rides ONE exchange.
+    "geo_voyages" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+      val byVoyage = Window.partitionBy("user_id", "voyage")
+        .orderBy("ts", "event_id")
+      withPos(Tables.events(s, d))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(byUser)))
+        .withColumn("is_new",
+          when(col("gap_us").isNull
+            || col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("voyage", sum("is_new").over(byUser))
+        .withColumn("prev_lat", lag(col("lat"), 1).over(byVoyage))
+        .withColumn("prev_lon", lag(col("lon"), 1).over(byVoyage))
+        .withColumn("hop_km",
+          when(col("prev_lat").isNull, 0.0)
+            .otherwise(Geo.haversineKm(col("prev_lat"), col("prev_lon"),
+              col("lat"), col("lon"))))
+        .groupBy("user_id", "voyage")
+        .agg(count(lit(1)).as("n_points"),
+          round(sum("hop_km"), 3).as("voyage_km"))
+        .orderBy("user_id", "voyage")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -90,6 +122,41 @@ object GeoOps {
         |    / 30.0) AS BIGINT) AS zone,
         |  count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY 1 ORDER BY zone""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY zone""".stripMargin,
+
+    "geo_voyages" ->
+      """WITH pos AS (
+        |  SELECT user_id, ts, event_id,
+        |    (event_id * 7919 % 18000) / 100.0 - 90.0 AS lat,
+        |    (event_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+        |  FROM events
+        |), seg AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |      OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0
+        |    END AS is_new
+        |  FROM (SELECT *, lag(epoch_us(ts)) OVER win AS prev_us
+        |        FROM pos WINDOW win AS
+        |          (PARTITION BY user_id ORDER BY ts, event_id)) t
+        |), voy AS (
+        |  SELECT *, sum(is_new) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS voyage
+        |  FROM seg
+        |), hops AS (
+        |  SELECT user_id, voyage, lat, lon,
+        |    lag(lat) OVER win AS prev_lat,
+        |    lag(lon) OVER win AS prev_lon
+        |  FROM voy WINDOW win AS
+        |    (PARTITION BY user_id, voyage ORDER BY ts, event_id)
+        |)
+        |SELECT user_id, CAST(voyage AS BIGINT) AS voyage,
+        |  count(*) AS n_points,
+        |  round(sum(CASE WHEN prev_lat IS NULL THEN 0.0 ELSE
+        |    2 * 6371.0088 * asin(sqrt(
+        |      pow(sin(radians(lat - prev_lat) / 2), 2) +
+        |      cos(radians(prev_lat)) * cos(radians(lat)) *
+        |      pow(sin(radians(lon - prev_lon) / 2), 2)))
+        |  END), 3) AS voyage_km
+        |FROM hops GROUP BY user_id, voyage
+        |ORDER BY user_id, voyage""".stripMargin
   )
 }

@@ -118,6 +118,27 @@ object TextOps {
           col("n_chars"))
         .orderBy("doc_id")),
 
+    // Training-shard packing: contiguous-fill documents into
+    // fixed-token-budget bins (4096 whitespace tokens), partitioned
+    // by lang — the op that turns a filtered corpus into
+    // fixed-budget training shards. The running prefix sum is
+    // per-lang (windowed by partition key), so packing scales by
+    // key with ONE exchange; a doc larger than the budget simply
+    // owns its bins (contiguous fill, the standard shard layout).
+    "text_pack_bins" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      Tables.documents(s, d)
+        .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+        .withColumn("prefix", sum("toks").over(w) - col("toks"))
+        .withColumn("bin", floor(col("prefix") / 4096))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("toks").as("bin_tokens"),
+          min("doc_id").as("first_doc"))
+        .orderBy("lang", "bin")
+    }),
+
     // Language-ID by marker-token voting: a broadcast profile table of
     // (marker word, lang, weight) joined against exploded tokens,
     // argmax per doc. No-oracle: the heuristic's profile table is
@@ -225,6 +246,22 @@ object TextOps {
         |    w -> length(w) >= 6)) AS INTEGER) AS long_tokens,
         |  CAST(length(text) AS INTEGER) AS chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_pack_bins" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents
+        |), p AS (
+        |  SELECT lang, doc_id, toks,
+        |    sum(toks) OVER (PARTITION BY lang ORDER BY doc_id) - toks
+        |      AS prefix
+        |  FROM t
+        |)
+        |SELECT lang, CAST(floor(prefix / 4096) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens,
+        |  min(doc_id) AS first_doc
+        |FROM p GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

@@ -18,6 +18,28 @@ class GeoOpsSpec extends SparkSpec {
     assert(ids.toSeq == ids.sorted.toSeq && ids.distinct.length == ids.length)
   }
 
+  test("geo_voyages: voyages partition each vessel's points") {
+    val voy = GeoOps.queries("geo_voyages")(spark, SparkSpec.sf001)
+      .collect()
+    assert(voy.map(_.getLong(2)).sum == 10000L) // every point in exactly one voyage
+    // voyage ids are 1..k consecutive per user
+    voy.groupBy(_.getLong(0)).values.foreach { rs =>
+      val ids = rs.map(_.getLong(1)).sorted
+      assert(ids.toSeq == (1L to ids.length).toSeq)
+    }
+    // segmenting can only split tracks: total voyage km <= total track
+    // km + tolerance is NOT an invariant (hops across gaps are
+    // dropped), but each voyage's length is non-negative and finite.
+    assert(voy.forall(r => r.getDouble(3) >= 0.0))
+    // and the per-user voyage-km sum never exceeds the unsegmented
+    // track length (dropping inter-voyage hops can only shorten).
+    val track = GeoOps.queries("geo_track_length")(spark, SparkSpec.sf001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    voy.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      assert(rs.map(_.getDouble(3)).sum <= track(u) + 0.01)
+    }
+  }
+
   test("geo_zone_counts: cells tile the globe, counts conserve events") {
     val rows = GeoOps.queries("geo_zone_counts")(spark, SparkSpec.sf001)
       .collect()
