@@ -108,41 +108,53 @@ object Dedup {
     // candidates surviving banding are rare BY CONSTRUCTION (that is
     // the point of banding), so broadcasting them holds at any corpus
     // scale where near-dup pairs are a small fraction of docs.
-    "dedup_minhash" -> ((s, d) => {
-      val sh = shingles(s, d)
-      // All 16 minhashes as agg COLUMNS of one hash aggregate over the
-      // shingle rows (hash(sh, i) = murmur3 seeded per function) — no
-      // 16x crossJoin row blow-up; the signature matrix costs one pass.
-      val mhCols = (0 until 16).map(i =>
-        min(hash(col("sh"), lit(i))).as(s"mh_$i"))
-      val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-      val bandStructs = (0 until 8).map(b =>
-        struct(lit(b).as("band"), col(s"mh_${2 * b}").as("h0"),
-          col(s"mh_${2 * b + 1}").as("h1")))
-      val bands = mh.select(col("doc_id"),
-          explode(array(bandStructs: _*)).as("bd"))
-        .select(col("doc_id"), col("bd.band").as("band"),
-          col("bd.h0").as("h0"), col("bd.h1").as("h1"))
-      val cand = broadcast(bands.as("x")).join(bands.as("y"),
-          col("x.band") === col("y.band")
-            && col("x.h0") === col("y.h0")
-            && col("x.h1") === col("y.h1")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .distinct()
-      val sets = shingleSets(s, d)
-      broadcast(broadcast(cand)
-          .join(sets.select(col("doc_id").as("d1"),
-            col("shset").as("set1")), "d1"))
-        .join(sets.select(col("doc_id").as("d2"),
-          col("shset").as("set2")), "d2")
-        .withColumn("inter",
-          size(array_intersect(col("set1"), col("set2"))))
-        .withColumn("jac", round(col("inter").cast("double")
-          / (size(col("set1")) + size(col("set2")) - col("inter")), 4))
-        .filter(col("jac") >= 0.8)
-        .select("d1", "d2", "jac")
-        .orderBy("d1", "d2")
+    "dedup_minhash" -> ((s, d) =>
+      minhashPairs(s, d).orderBy("d1", "d2")),
+
+    // Near-dup survivorship clustering: connected components over the
+    // verified MinHash pair graph (a doc transitively near-dup with
+    // another belongs to one cluster; the cluster id is its min
+    // doc_id — the survivor a dedup pass would keep). Iterative
+    // min-label propagation: the driver LOOPS, the data never leaves
+    // the cluster — each step is one join + one aggregate, and the
+    // step count is the component diameter (near-dup components are
+    // tiny chains; a convergence check guards the semantics). At
+    // whole-corpus scale with giant components you'd switch to the
+    // alternating large-star/small-star formulation — same
+    // declarative building blocks, fewer rounds.
+    // Oracle: DuckDB WITH RECURSIVE transitive closure — an
+    // INDEPENDENT fixed-point formulation of the same answer.
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = minhashPairs(s, d).select("d1", "d2")
+      val edges = graft.Cache.cached(s, d, "dedup.ccEdges") {
+        pairs.select(col("d1").as("a"), col("d2").as("b"))
+          .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      }
+      var labels = edges.select(col("a").as("n")).distinct()
+        .withColumn("lbl", col("n"))
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val nbMin = edges
+          .join(labels.select(col("n").as("a"), col("lbl").as("albl")),
+            "a")
+          .groupBy(col("b").as("n")).agg(min("albl").as("nbmin"))
+        val next = labels.join(nbMin, Seq("n"), "left")
+          .select(col("n"),
+            least(col("lbl"), coalesce(col("nbmin"), col("lbl")))
+              .as("lbl"))
+        converged = next
+          .join(labels.withColumnRenamed("lbl", "old"), "n")
+          .filter(col("lbl") =!= col("old")).count() == 0
+        labels = next
+        iter += 1
+      }
+      require(converged, s"CC did not converge in $iter iterations")
+      val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("csize"))
+      labels.select(col("n").as("doc_id"), col("lbl").as("cluster"))
+        .join(sizes.withColumnRenamed("lbl", "cluster"), "cluster")
+        .select("doc_id", "cluster", "csize")
+        .orderBy("doc_id")
     }),
 
     // SimHash near-dup: 64-bit signature from xxhash64(word) weighted
@@ -207,6 +219,46 @@ object Dedup {
     })
   )
 
+  /** The dedup_minhash pipeline sans final sort (shared with
+    * dedup_clusters): verified near-dup pairs (d1 < d2, jac ≥ 0.8)
+    * from MinHash banding + row-local exact-Jaccard verify. */
+  private[operators] def minhashPairs(s: SparkSession,
+      d: String): DataFrame = {
+    val sh = shingles(s, d)
+    // All 16 minhashes as agg COLUMNS of one hash aggregate over the
+    // shingle rows (hash(sh, i) = murmur3 seeded per function) — no
+    // 16x crossJoin row blow-up; the signature matrix costs one pass.
+    val mhCols = (0 until 16).map(i =>
+      min(hash(col("sh"), lit(i))).as(s"mh_$i"))
+    val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    val bandStructs = (0 until 8).map(b =>
+      struct(lit(b).as("band"), col(s"mh_${2 * b}").as("h0"),
+        col(s"mh_${2 * b + 1}").as("h1")))
+    val bands = mh.select(col("doc_id"),
+        explode(array(bandStructs: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"),
+        col("bd.h0").as("h0"), col("bd.h1").as("h1"))
+    val cand = broadcast(bands.as("x")).join(bands.as("y"),
+        col("x.band") === col("y.band")
+          && col("x.h0") === col("y.h0")
+          && col("x.h1") === col("y.h1")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val sets = shingleSets(s, d)
+    broadcast(broadcast(cand)
+        .join(sets.select(col("doc_id").as("d1"),
+          col("shset").as("set1")), "d1"))
+      .join(sets.select(col("doc_id").as("d2"),
+        col("shset").as("set2")), "d2")
+      .withColumn("inter",
+        size(array_intersect(col("set1"), col("set2"))))
+      .withColumn("jac", round(col("inter").cast("double")
+        / (size(col("set1")) + size(col("set2")) - col("inter")), 4))
+      .filter(col("jac") >= 0.8)
+      .select("d1", "d2", "jac")
+  }
+
   /** The dedup_embed_ann pipeline, parameterized so the LshSweep tool
     * can measure pair coverage of candidate configs with the exact
     * code the declared query runs. */
@@ -246,8 +298,12 @@ object Dedup {
       .select(col("doc_id"), sig.as("sig"))
   }
 
-  private val exactJaccardSql =
-    """WITH ds AS (
+  /** Exact shingle-Jaccard pair CTEs (DuckDB): `jacp` ends with the
+    * verified (d1 < d2, jac ≥ 0.8) pairs. Shared by the near-dup pair
+    * oracles AND (with a RECURSIVE closure appended) the clustering
+    * oracle. %BLOCK% is the optional candidate-blocking predicate. */
+  private val exactJaccardCtes =
+    """ds AS (
       |  SELECT DISTINCT doc_id, lang, n_chars, shingle FROM (
       |    SELECT doc_id, lang, n_chars,
       |      w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
@@ -260,19 +316,23 @@ object Dedup {
       |  ) s WHERE shingle IS NOT NULL
       |), sz AS (
       |  SELECT doc_id, count(*) AS nsh FROM ds GROUP BY 1
-      |), pairs AS (
+      |), cpairs AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
       |  FROM ds a JOIN ds b ON a.shingle = b.shingle
       |    AND a.doc_id < b.doc_id%BLOCK%
       |  GROUP BY 1, 2
-      |)
-      |SELECT d1, d2,
-      |  round(inter * 1.0 / (s1.nsh + s2.nsh - inter), 4) AS jac
-      |FROM pairs
-      |JOIN sz s1 ON d1 = s1.doc_id
-      |JOIN sz s2 ON d2 = s2.doc_id
-      |WHERE round(inter * 1.0 / (s1.nsh + s2.nsh - inter), 4) >= 0.8
-      |ORDER BY d1, d2""".stripMargin
+      |), jacp AS (
+      |  SELECT d1, d2,
+      |    round(inter * 1.0 / (s1.nsh + s2.nsh - inter), 4) AS jac
+      |  FROM cpairs
+      |  JOIN sz s1 ON d1 = s1.doc_id
+      |  JOIN sz s2 ON d2 = s2.doc_id
+      |  WHERE round(inter * 1.0 / (s1.nsh + s2.nsh - inter), 4) >= 0.8
+      |)""".stripMargin
+
+  private val exactJaccardSql =
+    s"WITH $exactJaccardCtes\n" +
+      "SELECT d1, d2, jac FROM jacp ORDER BY d1, d2"
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -286,6 +346,27 @@ object Dedup {
     // MinHash output = unblocked exact ground truth (LSH recall at
     // J >= 0.8 is effectively 1 at t2 scale; verified locally).
     "dedup_minhash" -> exactJaccardSql.replace("%BLOCK%", ""),
+
+    // Transitive closure over the same verified pair graph — an
+    // independent (recursive-CTE) formulation of the fixed point the
+    // engine's min-label propagation computes.
+    "dedup_clusters" ->
+      (s"WITH RECURSIVE ${exactJaccardCtes.replace("%BLOCK%", "")},\n" +
+        """edges AS (
+          |  SELECT d1 AS a, d2 AS b FROM jacp
+          |  UNION SELECT d2, d1 FROM jacp
+          |), reach(n, m) AS (
+          |  SELECT a, a FROM edges
+          |  UNION
+          |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+          |), lab AS (
+          |  SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY n
+          |), sizes AS (
+          |  SELECT cluster AS c2, count(*) AS csize FROM lab GROUP BY 1
+          |)
+          |SELECT doc_id, cluster, csize
+          |FROM lab JOIN sizes ON cluster = c2
+          |ORDER BY doc_id""".stripMargin),
 
     "dedup_embed" ->
       """SELECT a.vec_id AS v1, b.vec_id AS v2,

@@ -140,6 +140,32 @@ object Streams {
       }
   }
 
+  /** Stream-stream interval self-join (streaming twin of
+    * join_theta_range): each click paired with the same user's views
+    * in the following 30 min. Both sides carry watermarks AND the join
+    * condition bounds event time on both ends, so the engine can
+    * evict join state — the required shape for unbounded
+    * stream-stream joins (state is O(events within the interval +
+    * watermark), not O(stream)). Works identically on a batch frame
+    * (watermarks are a no-op there), which is what the parity test
+    * exploits. */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "1 hour")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withWatermark("v_ts", "1 hour")
+    clicks.join(views,
+        col("c_user") === col("v_user")
+          && col("v_ts") > col("c_ts")
+          && col("v_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("c_user").as("user_id"),
+        col("c_id"), col("v_id"), col("c_ts"), col("v_ts"))
+  }
+
   /** Watermark late-data drop (twin of stream_late_filter): events
     * older than the watermark delay behind the max seen ts are
     * discarded by the engine before any stateful op. */

@@ -49,6 +49,25 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted)
   }
 
+  test("dedup_clusters: labels are component minima over the pair graph") {
+    val pairs = Dedup.queries("dedup_minhash")(spark, SparkSpec.sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = Dedup.queries("dedup_clusters")(spark, SparkSpec.sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val label = rows.map(r => r._1 -> r._2).toMap
+    // every paired doc is labeled; endpoints of an edge share a label
+    pairs.foreach { case (a, b) =>
+      assert(label.contains(a) && label.contains(b))
+      assert(label(a) == label(b), s"edge ($a,$b) split across clusters")
+    }
+    // the cluster id is a member of its own cluster and is the min
+    rows.groupBy(_._2).foreach { case (c, rs) =>
+      assert(rs.map(_._1).min == c)
+      // size column matches the actual membership count
+      assert(rs.forall(_._3 == rs.length))
+    }
+  }
+
   test("dedup_near is idempotent on a deduped corpus") {
     // After dropping the 8 higher-id exact copies, rerunning exact
     // dedup changes nothing (idempotence property).

@@ -107,6 +107,17 @@ class StreamingSpec extends SparkSpec {
     assert(twoBatch == closedBatchSessions)
   }
 
+  test("stream-stream interval join: stream == batch (same function)") {
+    // intervalJoin is watermark-annotated but batch-applicable
+    // (watermarks are a no-op on batch frames) — so the same code IS
+    // its own batch twin.
+    val stream = runStream("t_ivjoin", "append", Streams.intervalJoin)
+    val batch = Streams.intervalJoin(
+      graft.Tables.events(spark, SparkSpec.sf0001))
+    assert(asSet(stream) == asSet(batch))
+    assert(stream.count() > 0) // the fixture actually exercises it
+  }
+
   test("file-source stream: tumbling over parquet dir == batch") {
     val src = Streams.eventsStream(spark, SparkSpec.sf0001)
     val q = Streams.tumbling(src).writeStream
