@@ -16,7 +16,8 @@ object Explain {
       if (args.length > 1) args.drop(1).toSeq
       else Seq("scan_filter_pushdown", "scan_projection",
         "join_broadcast", "join_5way", "agg_pricing_summary",
-        "similarity_knn", "dedup_minhash", "stream_session")
+        "similarity_knn", "dedup_minhash", "stream_session",
+        "ann_lsh", "geo_voyages", "text_pack_bins")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

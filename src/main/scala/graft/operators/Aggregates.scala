@@ -76,6 +76,25 @@ object Aggregates {
         .agg(approx_count_distinct("user_id").as("approx_users"))
         .orderBy("event_type")),
 
+    // Sketch quantiles: approx_percentile is single-pass and
+    // mergeable (a KLL/GK-style sketch) — the 100 TB answer where
+    // the exact percentile's full sort-per-group won't fly. No
+    // oracle (sketch implementations differ across engines);
+    // agg_median_quantile is the exact twin, and ApproxSpec bounds
+    // the rank error against it.
+    "agg_approx_quantile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5)").as("p50"),
+          expr("approx_percentile(l_quantity, array(0.25, 0.75))")
+            .as("p25_75"),
+          expr("approx_percentile(l_extendedprice, 0.99)").as("p99_price"))
+        .select(col("l_returnflag"), col("p50"),
+          col("p25_75")(0).as("p25"), col("p25_75")(1).as("p75"),
+          col("p99_price"))
+        .orderBy("l_returnflag")),
+
     // ROLLUP: hierarchy subtotals, null-padded grouping columns.
     // ROLLUP after a join trips Spark 4.1's ambiguous-self-join
     // detection in the DataFrame API (rollup duplicates grouping refs

@@ -125,31 +125,7 @@ object Dedup {
     // Oracle: DuckDB WITH RECURSIVE transitive closure — an
     // INDEPENDENT fixed-point formulation of the same answer.
     "dedup_clusters" -> ((s, d) => {
-      val pairs = minhashPairs(s, d).select("d1", "d2")
-      val edges = graft.Cache.cached(s, d, "dedup.ccEdges") {
-        pairs.select(col("d1").as("a"), col("d2").as("b"))
-          .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      }
-      var labels = edges.select(col("a").as("n")).distinct()
-        .withColumn("lbl", col("n"))
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 20) {
-        val nbMin = edges
-          .join(labels.select(col("n").as("a"), col("lbl").as("albl")),
-            "a")
-          .groupBy(col("b").as("n")).agg(min("albl").as("nbmin"))
-        val next = labels.join(nbMin, Seq("n"), "left")
-          .select(col("n"),
-            least(col("lbl"), coalesce(col("nbmin"), col("lbl")))
-              .as("lbl"))
-        converged = next
-          .join(labels.withColumnRenamed("lbl", "old"), "n")
-          .filter(col("lbl") =!= col("old")).count() == 0
-        labels = next
-        iter += 1
-      }
-      require(converged, s"CC did not converge in $iter iterations")
+      val labels = ccLabels(s, d)
       val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("csize"))
       labels.select(col("n").as("doc_id"), col("lbl").as("cluster"))
         .join(sizes.withColumnRenamed("lbl", "cluster"), "cluster")
@@ -258,6 +234,59 @@ object Dedup {
       .filter(col("jac") >= 0.8)
       .select("d1", "d2", "jac")
   }
+
+  /** Connected-component labels (n → min doc_id of its component)
+    * over the symmetric MinHash pair graph, memoized per (session,
+    * dir). Iterative min-label propagation: each iteration's frame is
+    * PERSISTED and its predecessor released — without that, iteration
+    * k's convergence count re-executes iterations 1..k-1 and the loop
+    * goes quadratic in stages (measured 14.7 s → ~3 s at sf0.1). */
+  private def ccLabels(s: SparkSession, d: String): DataFrame =
+    graft.Cache.cached(s, d, "dedup.ccLabels") {
+      import org.apache.spark.storage.StorageLevel
+      // Symmetric edge set in ONE pass over the verified pairs (a
+      // union of two selects would execute the verify pipeline twice).
+      val edges = graft.Cache.cached(s, d, "dedup.ccEdges") {
+        minhashPairs(s, d)
+          .select(explode(array(
+            struct(col("d1").as("a"), col("d2").as("b")),
+            struct(col("d2").as("a"), col("d1").as("b")))).as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"))
+      }
+      var labels = edges.select(col("a").as("n")).distinct()
+        .withColumn("lbl", col("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // Convergence via the label-sum invariant: min-label propagation
+      // only ever DECREASES labels, so the fixed point is reached
+      // exactly when sum(lbl) stops falling — one cheap aggregate per
+      // iteration instead of a join-and-diff.
+      def lblSum(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(sum("lbl")).head.getLong(0)
+      var prevSum = lblSum(labels)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val nbMin = edges
+          .join(labels.select(col("n").as("a"), col("lbl").as("albl")),
+            "a")
+          .groupBy(col("b").as("n")).agg(min("albl").as("nbmin"))
+        val next = labels.join(nbMin, Seq("n"), "left")
+          .select(col("n"),
+            least(col("lbl"), coalesce(col("nbmin"), col("lbl")))
+              .as("lbl"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val nextSum = lblSum(next)
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        labels.unpersist(blocking = false)
+        labels = next
+        iter += 1
+      }
+      require(converged, s"CC did not converge in $iter iterations")
+      // Returned (and re-persisted by Cache) while still holding the
+      // final iteration's blocks — the extra persist call is a no-op.
+      labels
+    }
 
   /** The dedup_embed_ann pipeline, parameterized so the LshSweep tool
     * can measure pair coverage of candidate configs with the exact
