@@ -166,6 +166,23 @@ object Streams {
         col("c_id"), col("v_id"), col("c_ts"), col("v_ts"))
   }
 
+  /** Idempotent streaming sink: every micro-batch is MERGEd into the
+    * parquet target by key via [[graft.sources.IO.upsertParquet]].
+    * Because the upsert is idempotent per batch, a replayed
+    * micro-batch (at-least-once delivery after a restart) converges
+    * to the same target state — exactly-once BY IDEMPOTENCE, the
+    * standard pattern when the sink has no transaction log. */
+  def upsertSink(df: DataFrame, targetPath: String, keyCols: Seq[String],
+      versionCol: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.IO.upsertParquet(batch.sparkSession, targetPath,
+          batch, keyCols, versionCol)
+      }
+
   /** Watermark late-data drop (twin of stream_late_filter): events
     * older than the watermark delay behind the max seen ts are
     * discarded by the engine before any stateful op. */

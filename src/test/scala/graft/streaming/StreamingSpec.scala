@@ -118,6 +118,43 @@ class StreamingSpec extends SparkSpec {
     assert(stream.count() > 0) // the fixture actually exercises it
   }
 
+  test("upsert sink: replayed batches converge (exactly-once by idempotence)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-upsert-sink").toString
+    val target = s"$base/state"
+    def feed(evs: Seq[Ev]): Unit = {
+      val ms = MemoryStream[Ev]
+      ms.addData(evs)
+      // latest value per (user_id, event_type), versioned by event_id
+      val q = Streams.upsertSink(
+        ms.toDF().select(col("user_id"), col("event_type"),
+          col("value"), col("event_id")),
+        target, Seq("user_id", "event_type"), "event_id",
+        s"$base/ckpt-${evs.hashCode}").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val half = batchEvents.take(400)
+    feed(half)
+    val once = spark.read.parquet(target).collect()
+      .map(_.mkString("|")).toSet
+    feed(half) // full replay of the same data
+    val twice = spark.read.parquet(target).collect()
+      .map(_.mkString("|")).toSet
+    assert(once == twice, "replay must not change the target")
+    // and the state is the per-key latest by version
+    val expected = spark.createDataFrame(half)
+      .groupBy("user_id", "event_type")
+      .agg(max_by(struct(col("value"), col("event_id")),
+        col("event_id")).as("s"))
+      .select(col("user_id"), col("event_type"),
+        col("s.value"), col("s.event_id"))
+      .collect().map(_.mkString("|")).toSet
+    assert(twice == expected)
+  }
+
   test("file-source stream: tumbling over parquet dir == batch") {
     val src = Streams.eventsStream(spark, SparkSpec.sf0001)
     val q = Streams.tumbling(src).writeStream
