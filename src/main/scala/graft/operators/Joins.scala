@@ -131,6 +131,34 @@ object Joins {
         .orderBy("purchase_id")
     }),
 
+    // Forward as-of: each purchase -> EARLIEST following click (ts >=
+    // purchase) of the same user — the mirror of join_asof, same
+    // union-merge shape with a forward-looking frame (first instead
+    // of running last). Kind ordering flips so same-ts clicks sort
+    // AFTER the purchase and land inside its frame (>= semantics).
+    "join_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(0).as("kind"),
+          col("event_id"),
+          lit(null).cast("long").as("click_id"),
+          col("event_id").as("purchase_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(1).as("kind"),
+          col("event_id"),
+          col("event_id").as("click_id"),
+          lit(null).cast("long").as("purchase_id"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      purchases.unionAll(clicks)
+        .withColumn("next_click",
+          first(col("click_id"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 0)
+        .select(col("purchase_id"), col("next_click").as("click_id"))
+        .orderBy("purchase_id")
+    }),
+
     // Multi-join pipeline (TPC-H Q5-ish): revenue by nation in ASIA.
     "join_5way" -> ((s, d) =>
       Tables.customer(s, d)
@@ -208,6 +236,16 @@ object Joins {
         |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |) t WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+
+    "join_asof_forward" ->
+      """SELECT purchase_id, click_id FROM (
+        |  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |                       ORDER BY c.ts ASC, c.event_id ASC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts >= p.ts
         |) t WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
 
     "join_5way" ->
