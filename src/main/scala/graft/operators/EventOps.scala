@@ -75,6 +75,28 @@ object EventOps {
         .filter(col("rn") === 1)
         .select("user_id", "event_type", "event_id", "ts")
         .orderBy("user_id", "event_type")
+    }),
+
+    // Per-entity anomaly flagging — the AIS "impossible position
+    // report" cleaning op generalized: events whose value sits > 2
+    // sample-stddevs from the entity's mean, z-scored. One window
+    // partitioned by the entity key (mean/std as full-frame window
+    // aggs — no second scan, no join), so it scales by key.
+    // Cross-engine note: the 2σ FILTER compares engine-computed
+    // floats, so membership could in principle flip for a z within
+    // ~1e-13 of the threshold — verified stable on the fixtures at
+    // both t2 SFs; demote to no-oracle if a future fixture lands a
+    // z on the boundary.
+    "events_outliers" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .withColumn("mu", avg("value").over(w))
+        .withColumn("sd", stddev_samp(col("value")).over(w))
+        .filter(col("sd") > 0 &&
+          abs(col("value") - col("mu")) > lit(2) * col("sd"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          round((col("value") - col("mu")) / col("sd"), 4).as("z"))
+        .orderBy("event_id")
     })
   )
 
@@ -127,6 +149,16 @@ object EventOps {
         |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
         |    ORDER BY ts, event_id) AS rn
         |  FROM events
-        |) t WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+        |) t WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "events_outliers" ->
+      """SELECT event_id, user_id, value, round((value - mu) / sd, 4) AS z
+        |FROM (
+        |  SELECT *, avg(value) OVER (PARTITION BY user_id) AS mu,
+        |    stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+        |  FROM events
+        |) t
+        |WHERE sd > 0 AND abs(value - mu) > 2 * sd
+        |ORDER BY event_id""".stripMargin
   )
 }
