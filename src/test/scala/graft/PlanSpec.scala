@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan shape pins — PLANS.md's audit as executable
+  * assertions, so a refactor that silently loses a pushdown, a
+  * broadcast, or an exchange-sharing property fails CI instead of
+  * surfacing as a 100-TB regression. Substring checks are kept
+  * deliberately loose (node names, not full plan text) to survive
+  * Spark formatting changes. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, SparkSpec.sf001)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  private def countOf(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  /** Number of SHUFFLE exchanges: count each node once via its
+    * numbered detail header ("(7) Exchange"), which excludes
+    * BroadcastExchange and the tree-section duplicate. */
+  private def shuffleExchanges(p: String): Int =
+    p.linesIterator.count(_.trim.matches("\\(\\d+\\) Exchange"))
+
+  test("scan_filter_pushdown: predicate reaches the parquet reader") {
+    val p = plan("scan_filter_pushdown")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("LessThanOrEqual(l_shipdate"))
+  }
+
+  test("scan_projection: column pruning holds at the scan") {
+    val p = plan("scan_projection")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+    assert(readSchema.isDefined)
+    // exactly the projected columns — nothing else read
+    assert(readSchema.get.contains("l_orderkey"))
+    assert(!readSchema.get.contains("l_extendedprice"))
+  }
+
+  test("join_broadcast: dimension side broadcasts (no fact shuffle)") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("join_5way: the whole dim chain broadcasts") {
+    assert(countOf(plan("join_5way"), "BroadcastHashJoin") >= 4)
+  }
+
+  test("agg_pricing_summary: partial+final aggregation split") {
+    assert(countOf(plan("agg_pricing_summary"), "HashAggregate") >= 2)
+  }
+
+  test("geo_voyages: all windows + agg ride ONE data exchange") {
+    // expected exchanges: 1 hash (user_id) + 1 range (final sort);
+    // a third would mean a window lost the shared partitioning
+    assert(shuffleExchanges(plan("geo_voyages")) <= 2)
+  }
+
+  test("text_pack_bins: one data exchange for the prefix sum") {
+    assert(shuffleExchanges(plan("text_pack_bins")) <= 2)
+  }
+
+  test("stream_session: both windows share the user_id exchange") {
+    assert(shuffleExchanges(plan("stream_session")) <= 2)
+  }
+
+  test("dedup_minhash: verify joins broadcast, never sort-merge") {
+    val p = plan("dedup_minhash")
+    assert(countOf(p, "BroadcastHashJoin") >= 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("similarity_knn: brute force is BNLJ + TakeOrderedAndProject") {
+    val p = plan("similarity_knn")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+}
