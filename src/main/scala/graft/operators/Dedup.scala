@@ -253,27 +253,37 @@ object Dedup {
             struct(col("d2").as("a"), col("d1").as("b")))).as("e"))
           .select(col("e.a").as("a"), col("e.b").as("b"))
       }
-      var labels = edges.select(col("a").as("n")).distinct()
-        .withColumn("lbl", col("n"))
+      // Initialization WITH the first propagation step fused in: every
+      // node appears as `a` in the symmetric edge set, so one
+      // aggregation seeds lbl = min(self, min neighbor) — no join, and
+      // one fewer loop round.
+      var labels = edges.groupBy("a")
+        .agg(min("b").as("mb"))
+        .select(col("a").as("n"), least(col("a"), col("mb")).as("lbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      def step(l: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val nbMin = edges
+          .join(l.select(col("n").as("a"), col("lbl").as("albl")), "a")
+          .groupBy(col("b").as("n")).agg(min("albl").as("nbmin"))
+        l.join(nbMin, Seq("n"), "left")
+          .select(col("n"),
+            least(col("lbl"), coalesce(col("nbmin"), col("lbl")))
+              .as("lbl"))
+      }
       // Convergence via the label-sum invariant: min-label propagation
       // only ever DECREASES labels, so the fixed point is reached
-      // exactly when sum(lbl) stops falling — one cheap aggregate per
-      // iteration instead of a join-and-diff.
+      // exactly when sum(lbl) stops falling. TWO propagation steps per
+      // action (rounds cost scheduling + codegen far more than the
+      // tiny data): a double-step with a stable sum implies each
+      // inner step was stable.
       def lblSum(df: org.apache.spark.sql.DataFrame): Long =
         df.agg(sum("lbl")).head.getLong(0)
       var prevSum = lblSum(labels)
       var converged = false
       var iter = 0
-      while (!converged && iter < 20) {
-        val nbMin = edges
-          .join(labels.select(col("n").as("a"), col("lbl").as("albl")),
-            "a")
-          .groupBy(col("b").as("n")).agg(min("albl").as("nbmin"))
-        val next = labels.join(nbMin, Seq("n"), "left")
-          .select(col("n"),
-            least(col("lbl"), coalesce(col("nbmin"), col("lbl")))
-              .as("lbl"))
+      while (!converged && iter < 10) {
+        val next = step(step(labels))
           .persist(StorageLevel.MEMORY_AND_DISK)
         val nextSum = lblSum(next)
         converged = nextSum == prevSum
@@ -282,7 +292,7 @@ object Dedup {
         labels = next
         iter += 1
       }
-      require(converged, s"CC did not converge in $iter iterations")
+      require(converged, s"CC did not converge in $iter double-steps")
       // Returned (and re-persisted by Cache) while still holding the
       // final iteration's blocks — the extra persist call is a no-op.
       labels
