@@ -65,6 +65,41 @@ object Dedup {
         .select("keep_id", "n_copies", "n_chars")
         .orderBy("keep_id")),
 
+    // The 100-TB twin of dedup_exact (the caveat documented there):
+    // group on the rolling-hash fingerprint (same expression as
+    // text_fingerprint) so the dedup shuffle carries only narrow
+    // (fp, doc_id, n_chars) rows, never full texts. Docs whose fp is
+    // unique ARE unique (no verify needed — a collision requires two
+    // docs sharing the fp); only the docs in fp-collision groups — a
+    // tiny set: true duplicates plus ~n²/1e9 accidental collisions —
+    // re-group on the FULL text (broadcast semi-join on their ids),
+    // which both verifies equality and splits any accidental
+    // collision into its true groups. Output is therefore exactly
+    // dedup_exact's, and the oracle is the same survivor SQL.
+    "dedup_exact_fingerprint" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val fps = docs.select(col("doc_id"), col("n_chars"),
+        expr("aggregate(split(text, ''), 7L," +
+          " (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)").as("fp"))
+      val collided = fps.groupBy("fp")
+        .agg(count(lit(1)).as("nfp"))
+        .filter(col("nfp") > 1)
+        .select("fp")
+      val singles = fps
+        .join(broadcast(collided), Seq("fp"), "left_anti")
+        .select(col("doc_id").as("keep_id"), lit(1L).as("n_copies"),
+          col("n_chars"))
+      val collidedIds = fps.join(broadcast(collided), Seq("fp"))
+        .select("doc_id")
+      val verified = docs.join(broadcast(collidedIds), Seq("doc_id"))
+        .groupBy("text")
+        .agg(min("doc_id").as("keep_id"),
+          count(lit(1)).as("n_copies"),
+          min("n_chars").as("n_chars"))
+        .select("keep_id", "n_copies", "n_chars")
+      singles.unionByName(verified).orderBy("keep_id")
+    }),
+
     // Near-dup via exact 3-gram shingle Jaccard, candidates blocked to
     // same lang + |n_chars| diff <= 20, J >= 0.8. ONE shingle
     // equi-join: matching rows group straight into intersection
@@ -101,13 +136,17 @@ object Dedup {
     // output equals the unblocked exact-Jaccard ground truth.
     //
     // Exchange budget (the round-2 version paid 6 shuffles): the
-    // band self-join broadcasts one side, the candidate dedup is one
-    // tiny exchange over (d1, d2) pairs, and the Jaccard verify is
-    // two BROADCAST joins of the candidate set against the per-doc
-    // shingle-set rows with the intersection computed row-locally —
-    // candidates surviving banding are rare BY CONSTRUCTION (that is
-    // the point of banding), so broadcasting them holds at any corpus
-    // scale where near-dup pairs are a small fraction of docs.
+    // band self-join is left UNHINTED — the bands frame is n·8 rows
+    // (linear in corpus size), so forcing a broadcast there would OOM
+    // at 100-TB scale; AQE picks BHJ while it fits and degrades to a
+    // shuffled equi-join on (band, h0, h1) beyond. The candidate
+    // dedup is one tiny exchange over (d1, d2) pairs, and the Jaccard
+    // verify is two BROADCAST joins of the candidate set against the
+    // per-doc shingle-set rows with the intersection computed
+    // row-locally — candidates surviving banding are rare BY
+    // CONSTRUCTION (that is the point of banding), so broadcasting
+    // THEM holds at any corpus scale where near-dup pairs are a small
+    // fraction of docs.
     "dedup_minhash" -> ((s, d) =>
       minhashPairs(s, d).orderBy("d1", "d2")),
 
@@ -214,7 +253,7 @@ object Dedup {
         explode(array(bandStructs: _*)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"),
         col("bd.h0").as("h0"), col("bd.h1").as("h1"))
-    val cand = broadcast(bands.as("x")).join(bands.as("y"),
+    val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band")
           && col("x.h0") === col("y.h0")
           && col("x.h1") === col("y.h1")
@@ -237,13 +276,9 @@ object Dedup {
 
   /** Connected-component labels (n → min doc_id of its component)
     * over the symmetric MinHash pair graph, memoized per (session,
-    * dir). Iterative min-label propagation: each iteration's frame is
-    * PERSISTED and its predecessor released — without that, iteration
-    * k's convergence count re-executes iterations 1..k-1 and the loop
-    * goes quadratic in stages (measured 14.7 s → ~3 s at sf0.1). */
+    * dir). Delegates to [[ccFixedPoint]]. */
   private def ccLabels(s: SparkSession, d: String): DataFrame =
     graft.Cache.cached(s, d, "dedup.ccLabels") {
-      import org.apache.spark.storage.StorageLevel
       // Symmetric edge set in ONE pass over the verified pairs (a
       // union of two selects would execute the verify pipeline twice).
       val edges = graft.Cache.cached(s, d, "dedup.ccEdges") {
@@ -251,52 +286,101 @@ object Dedup {
           .select(explode(array(
             struct(col("d1").as("a"), col("d2").as("b")),
             struct(col("d2").as("a"), col("d1").as("b")))).as("e"))
-          .select(col("e.a").as("a"), col("e.b").as("b"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
       }
-      // Initialization WITH the first propagation step fused in: every
-      // node appears as `a` in the symmetric edge set, so one
-      // aggregation seeds lbl = min(self, min neighbor) — no join, and
-      // one fewer loop round.
-      var labels = edges.groupBy("a")
-        .agg(min("b").as("mb"))
-        .select(col("a").as("n"), least(col("a"), col("mb")).as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      def step(l: org.apache.spark.sql.DataFrame)
-          : org.apache.spark.sql.DataFrame = {
-        val nbMin = edges
-          .join(l.select(col("n").as("a"), col("lbl").as("albl")), "a")
-          .groupBy(col("b").as("n")).agg(min("albl").as("nbmin"))
-        l.join(nbMin, Seq("n"), "left")
-          .select(col("n"),
-            least(col("lbl"), coalesce(col("nbmin"), col("lbl")))
-              .as("lbl"))
-      }
-      // Convergence via the label-sum invariant: min-label propagation
-      // only ever DECREASES labels, so the fixed point is reached
-      // exactly when sum(lbl) stops falling. TWO propagation steps per
-      // action (rounds cost scheduling + codegen far more than the
-      // tiny data): a double-step with a stable sum implies each
-      // inner step was stable.
-      def lblSum(df: org.apache.spark.sql.DataFrame): Long =
-        df.agg(sum("lbl")).head.getLong(0)
-      var prevSum = lblSum(labels)
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 10) {
-        val next = step(step(labels))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val nextSum = lblSum(next)
-        converged = nextSum == prevSum
-        prevSum = nextSum
-        labels.unpersist(blocking = false)
-        labels = next
-        iter += 1
-      }
-      require(converged, s"CC did not converge in $iter double-steps")
-      // Returned (and re-persisted by Cache) while still holding the
-      // final iteration's blocks — the extra persist call is a no-op.
-      labels
+      ccFixedPoint(edges)
     }
+
+  /** Connected components over a SYMMETRIC edge set (a, b) — returns
+    * (n, lbl) with lbl = min node id of n's component, for every node
+    * appearing in the edges. Package-visible so DedupSpec can drive
+    * it with synthetic pathological graphs (long chains) independent
+    * of the fixture's near-dup pair graph.
+    *
+    * Algorithm: min-label propagation with POINTER JUMPING
+    * (Shiloach-Vishkin-style shortcutting). Each round runs
+    * propagate (lbl'(n) = min(lbl(n), min over neighbors)) then
+    * shortcut (lbl''(n) = lbl'(lbl'(n)) — labels are node ids, so a
+    * self-join chases one pointer hop). Propagation alone needs
+    * diameter rounds; the shortcut halves label-chain depth each
+    * round, so convergence is O(log diameter) — the same round bound
+    * as alternating large-star/small-star, with the propagate/
+    * shortcut pair in place of the two star operations. A 12-round
+    * cap therefore covers diameters into the thousands (spec-proven
+    * on a 64-node chain) instead of the ~20 the propagate-only loop
+    * managed in 10.
+    *
+    * Both operations only ever DECREASE labels, so the fixed point is
+    * reached exactly when sum(lbl) stops falling, and a stable sum
+    * over a composite round implies each inner operation was stable.
+    * At a propagate fixed point labels are constant along every edge,
+    * i.e. equal to the component min — shortcutting never changes
+    * that fixed point (the min node's label is itself).
+    *
+    * Each round's frame is PERSISTED and its predecessor released —
+    * without that, round k's convergence count re-executes rounds
+    * 1..k-1 and the loop goes quadratic in stages (measured
+    * 14.7 s → ~3 s at sf0.1). The driver loops; the data never
+    * leaves the cluster. */
+  private[operators] def ccFixedPoint(edges: DataFrame,
+      maxRounds: Int = 12): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // Initialization WITH the first propagation step fused in: every
+    // node appears as `a` in the symmetric edge set, so one
+    // aggregation seeds lbl = min(self, min neighbor) — no join, and
+    // one fewer loop round.
+    var labels = edges.groupBy("a")
+      .agg(min("b").as("mb"))
+      .select(col("a").as("n"), least(col("a"), col("mb")).as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def propagate(l: DataFrame): DataFrame = {
+      val nbMin = edges
+        .join(l.select(col("n").as("a"), col("lbl").as("albl")), "a")
+        .groupBy(col("b").as("n")).agg(min("albl").as("nbmin"))
+      l.join(nbMin, Seq("n"), "left")
+        .select(col("n"),
+          least(col("lbl"), coalesce(col("nbmin"), col("lbl")))
+            .as("lbl"))
+    }
+    // lbl''(n) = lbl(lbl(n)): the invariant lbl(x) <= x means every
+    // label IS a node with its own (smaller-or-equal) label to chase.
+    def shortcut(l: DataFrame): DataFrame =
+      l.as("x")
+        .join(l.select(col("n").as("pn"), col("lbl").as("plbl")).as("p"),
+          col("x.lbl") === col("pn"), "left")
+        .select(col("x.n").as("n"),
+          least(col("x.lbl"), coalesce(col("plbl"), col("x.lbl")))
+            .as("lbl"))
+    def lblSum(df: DataFrame): Long =
+      df.agg(sum("lbl")).head.getLong(0)
+    var prevSum = lblSum(labels)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // localCheckpoint (eager) BOTH materializes the round and
+      // TRUNCATES lineage. Truncation is load-bearing: the shortcut
+      // self-join references the previous frame twice, so without it
+      // the logical plan DOUBLES per round — exponential analyze/
+      // codegen cost long before any data is large. On a multi-node
+      // cluster prefer spark.sparkContext.setCheckpointDir + reliable
+      // .checkpoint() (survives executor loss); local blocks suffice
+      // for this single-JVM build.
+      val next = shortcut(propagate(labels)).localCheckpoint()
+      val nextSum = lblSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      labels.unpersist(blocking = false)
+      labels = next
+      round += 1
+    }
+    require(converged,
+      s"connected components did not converge in $maxRounds " +
+        "propagate+shortcut rounds — component label chains deeper " +
+        s"than ~2^$maxRounds; raise maxRounds")
+    // Returned (and possibly re-persisted by Cache) while still
+    // holding the final round's blocks — an extra persist is a no-op.
+    labels
+  }
 
   /** The dedup_embed_ann pipeline, parameterized so the LshSweep tool
     * can measure pair coverage of candidate configs with the exact
@@ -375,6 +459,13 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        | CAST(min(n_chars) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    // Same ground truth as dedup_exact — the fingerprint grouping +
+    // full-text verify is an exact algorithm, not an approximation.
+    "dedup_exact_fingerprint" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
         | CAST(min(n_chars) AS BIGINT) AS n_chars
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

@@ -86,6 +86,46 @@ object GeoOps {
         .agg(count(lit(1)).as("n_points"),
           round(sum("hop_km"), 3).as("voyage_km"))
         .orderBy("user_id", "voyage")
+    }),
+
+    // Modal course per vessel: initial bearing of each consecutive
+    // hop, binned into eight 45° sectors (0 = N..NE, …, 7 = NW..N) —
+    // the "course distribution" companion to track length. INTEGER
+    // outputs only (sector ids and hop counts). Cross-engine float
+    // hazard, handled per SURVEY §2.0 rule 2: the fixture CONTAINS
+    // hops that land on sector boundaries (event_id diffs ≡ 0 mod
+    // 18000 give dLon = ±180° → bearing within ulps of 0/180/360),
+    // so the bearing is ROUNDED TO 3 DP before floor — both engines
+    // then bin the identical decimal, and a bearing rounding to
+    // exactly 360.000 folds to sector 0 via % 8 (consistent with its
+    // near-0 meaning). The remaining hazard — a raw bearing within
+    // ~1e-10 of a half-millidegree rounding tie — is pinned away by
+    // GeoOpsSpec's margin test. Ties in the modal count break toward
+    // the lower sector id (deterministic on both engines). One
+    // exchange: the hop window, the sector agg, the modal window and
+    // the per-vessel total all partition by user_id.
+    "geo_headings" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+      val modal = Window.partitionBy("user_id")
+        .orderBy(col("n_hops").desc, col("sector"))
+      withPos(Tables.events(s, d))
+        .withColumn("prev_lat", lag(col("lat"), 1).over(byUser))
+        .withColumn("prev_lon", lag(col("lon"), 1).over(byUser))
+        .filter(col("prev_lat").isNotNull)
+        .withColumn("sector",
+          (floor(round(Geo.bearingDeg(col("prev_lat"), col("prev_lon"),
+            col("lat"), col("lon")), 3) / 45) % 8).cast("long"))
+        .groupBy("user_id", "sector")
+        .agg(count(lit(1)).as("n_hops"))
+        .withColumn("rk", row_number().over(modal))
+        .withColumn("total_hops",
+          sum("n_hops").over(Window.partitionBy("user_id")))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("sector").as("modal_sector"),
+          col("n_hops").as("sector_hops"), col("total_hops"))
+        .orderBy("user_id")
     })
   )
 
@@ -157,6 +197,45 @@ object GeoOps {
         |      pow(sin(radians(lon - prev_lon) / 2), 2)))
         |  END), 3) AS voyage_km
         |FROM hops GROUP BY user_id, voyage
-        |ORDER BY user_id, voyage""".stripMargin
+        |ORDER BY user_id, voyage""".stripMargin,
+
+    // Mirrors Geo.bearingDeg op-for-op: y = sin(dLon)·cos(lat2),
+    // x = cos(lat1)·sin(lat2) − sin(lat1)·cos(lat2)·cos(dLon),
+    // bearing = pmod(degrees(atan2(y, x)), 360) with Spark's pmod
+    // spelled as fmod(fmod(v, 360) + 360, 360).
+    "geo_headings" ->
+      """WITH pos AS (
+        |  SELECT user_id, ts, event_id,
+        |    (event_id * 7919 % 18000) / 100.0 - 90.0 AS lat,
+        |    (event_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+        |  FROM events
+        |), hops AS (
+        |  SELECT user_id, lat, lon,
+        |    lag(lat) OVER win AS plat,
+        |    lag(lon) OVER win AS plon
+        |  FROM pos
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sect AS (
+        |  SELECT user_id,
+        |    CAST(floor(round(fmod(fmod(degrees(atan2(
+        |      sin(radians(lon - plon)) * cos(radians(lat)),
+        |      cos(radians(plat)) * sin(radians(lat)) -
+        |        sin(radians(plat)) * cos(radians(lat)) *
+        |        cos(radians(lon - plon))
+        |    )), 360) + 360, 360), 3) / 45) AS BIGINT) % 8 AS sector
+        |  FROM hops WHERE plat IS NOT NULL
+        |), cnt AS (
+        |  SELECT user_id, sector, count(*) AS n_hops
+        |  FROM sect GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT user_id, sector, n_hops,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY n_hops DESC, sector) AS rk,
+        |    sum(n_hops) OVER (PARTITION BY user_id) AS total
+        |  FROM cnt
+        |)
+        |SELECT user_id, sector AS modal_sector, n_hops AS sector_hops,
+        |  CAST(total AS BIGINT) AS total_hops
+        |FROM ranked WHERE rk = 1 ORDER BY user_id""".stripMargin
   )
 }

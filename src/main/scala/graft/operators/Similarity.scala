@@ -14,8 +14,14 @@ import org.apache.spark.sql.functions._
   * brute-force baselines (all-pairs cosine); they share ONE persisted
   * scored half-pair set (cosine is symmetric, so each unordered pair
   * is scored once and mirrored). `ann_lsh` / `ann_ivf` are the scale
-  * paths: bucket joins replace the cross join, so cost is
-  * O(n · occupancy · tables), never O(n²).
+  * paths. For `ann_lsh` the bucket joins replace the cross join, so
+  * cost is O(n · occupancy · tables) — never O(n²). `ann_ivf`'s cost
+  * is (probed fraction)·n per query, and the fraction a given recall
+  * needs depends on the DATA: 0.6 on this isotropic fixture (no
+  * cluster structure — see [[IvfProbeFraction]]), ≤ 0.15 on clustered
+  * embeddings (spec-proven on a deterministic clustered fixture in
+  * SimilaritySpec) — so IVF is sub-quadratic exactly where real
+  * embedding corpora live, and honest about the worst case here.
   *
   * Parallelism hazard owned here: the fixture table is ONE parquet
   * row-group, so any plan that streams it through a nested-loop or

@@ -65,9 +65,25 @@ class PlanSpec extends SparkSpec {
     assert(shuffleExchanges(plan("stream_session")) <= 2)
   }
 
-  test("dedup_minhash: verify joins broadcast, never sort-merge") {
+  test("dedup_minhash: the candidate-verify joins broadcast") {
+    // Pins ONLY the two shingle-set verify joins (tiny candidate set
+    // broadcast against per-doc set rows). The band self-join is
+    // deliberately unpinned: its input is n·8 rows, so the planner
+    // must stay free to degrade it from BHJ to a shuffled join as the
+    // corpus grows — banning SortMergeJoin plan-wide would freeze a
+    // non-scalable choice into CI.
     val p = plan("dedup_minhash")
     assert(countOf(p, "BroadcastHashJoin") >= 2)
+  }
+
+  test("dedup_exact_fingerprint: collision verify joins broadcast") {
+    // The scale twin's contract: the main dedup shuffle carries only
+    // narrow (fp, doc_id, n_chars) rows; full texts re-group only for
+    // the tiny fp-collision set, reached via BROADCAST joins (the
+    // anti-join excluding singles + the id semi-join selecting the
+    // collided docs).
+    val p = plan("dedup_exact_fingerprint")
+    assert(countOf(p, "BroadcastHashJoin") >= 3)
     assert(!p.contains("SortMergeJoin"))
   }
 

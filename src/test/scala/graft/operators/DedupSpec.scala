@@ -68,6 +68,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_exact_fingerprint == dedup_exact (fp grouping is exact)") {
+    Seq(SparkSpec.sf001, SparkSpec.sf01).foreach { sf =>
+      val exact = Dedup.queries("dedup_exact")(spark, sf)
+        .collect().map(_.toString).toSeq
+      val viaFp = Dedup.queries("dedup_exact_fingerprint")(spark, sf)
+        .collect().map(_.toString).toSeq
+      assert(viaFp == exact, s"fingerprint dedup diverges at $sf")
+    }
+  }
+
+  test("ccFixedPoint converges on a diameter-99 chain (pointer jump)") {
+    // Pathological near-dup shape: one long chain (progressively
+    // edited boilerplate), diameter far past what propagate-only
+    // rounds could cover. 100 nodes 0-1-2-...-99, symmetric edges.
+    val s = spark; import s.implicits._
+    val edges = (0L until 99L)
+      .flatMap(i => Seq((i, i + 1), (i + 1, i)))
+      .toDF("a", "b")
+    val labels = Dedup.ccFixedPoint(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.size == 100)
+    assert(labels.values.forall(_ == 0L),
+      "every chain node must label to the component min 0")
+  }
+
+  test("ccFixedPoint labels disjoint components independently") {
+    val s = spark; import s.implicits._
+    // two chains + an isolated pair: 0..30, 100..140, 500-501
+    val comps = Seq((0L, 30L, 0L), (100L, 140L, 100L), (500L, 501L, 500L))
+    val edges = comps.flatMap { case (lo, hi, _) =>
+      (lo until hi).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    }.toDF("a", "b")
+    val labels = Dedup.ccFixedPoint(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    comps.foreach { case (lo, hi, want) =>
+      (lo to hi).foreach(n => assert(labels(n) == want,
+        s"node $n labeled ${labels(n)}, expected $want"))
+    }
+  }
+
   test("dedup_near is idempotent on a deduped corpus") {
     // After dropping the 8 higher-id exact copies, rerunning exact
     // dedup changes nothing (idempotence property).

@@ -76,4 +76,28 @@ class EventOpsSpec extends SparkSpec {
       .count()
     assert(u == c + s)
   }
+
+  test("events_outliers: no |z| sits on the 2σ boundary (margin)") {
+    // The declared query's oracle compares engine-computed floats
+    // through the 2σ membership filter; a z within ~1e-13 of the
+    // threshold could flip between Spark and DuckDB. Pin the minimum
+    // boundary distance at both t2 SFs so a fixture change that
+    // lands a z on the boundary fails HERE before the oracle flakes.
+    // Contingency then: demote events_outliers to no-oracle.
+    import org.apache.spark.sql.expressions.Window
+    Seq(SparkSpec.sf001, SparkSpec.sf01).foreach { sf =>
+      val w = Window.partitionBy("user_id")
+      val margin = graft.Tables.events(spark, sf)
+        .withColumn("mu", avg("value").over(w))
+        .withColumn("sd", stddev_samp(col("value")).over(w))
+        .filter(col("sd") > 0)
+        .select(abs(abs((col("value") - col("mu")) / col("sd")) - 2.0)
+          .as("dist"))
+        .agg(min("dist")).head.getDouble(0)
+      info(f"min |z|-to-2σ distance at $sf: $margin%.3e")
+      assert(margin > 1e-13,
+        f"a z-score sits $margin%.3e from the 2σ boundary — " +
+          "cross-engine membership is no longer safe")
+    }
+  }
 }

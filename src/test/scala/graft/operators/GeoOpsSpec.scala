@@ -53,4 +53,53 @@ class GeoOpsSpec extends SparkSpec {
       assert(r.getLong(2) <= r.getLong(1)) // users <= events per zone
     }
   }
+
+  test("geo_headings: modal sector valid, counts conserve hops") {
+    import org.apache.spark.sql.functions._
+    Seq(SparkSpec.sf001, SparkSpec.sf01).foreach { sf =>
+      val ev = graft.Tables.events(spark, sf)
+      val nUsers = ev.select("user_id").distinct().count()
+      val nEvents = ev.count()
+      val rows = GeoOps.queries("geo_headings")(spark, sf).collect()
+      assert(rows.length == nUsers) // one modal row per vessel
+      rows.foreach { r =>
+        assert(r.getLong(1) >= 0 && r.getLong(1) <= 7) // 8 sectors
+        assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(3))
+      }
+      // hops = events − one first-point per vessel
+      assert(rows.map(_.getLong(3)).sum == nEvents - nUsers)
+    }
+  }
+
+  test("geo_headings: no bearing sits on a 3-dp rounding tie") {
+    // The sector binning rounds the bearing to 3 dp before floor, so
+    // engines can only disagree if a raw bearing lands within the
+    // cross-engine libm noise (~1e-10 after the ×1000 scale) of a
+    // half-millidegree rounding tie (x.xxx5). Pin the minimum
+    // distance at both t2 SFs — if a future fixture lands a bearing
+    // on a tie, this fails before the oracle flakes. Contingency
+    // then: demote geo_headings to no-oracle.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    Seq(SparkSpec.sf001, SparkSpec.sf01).foreach { sf =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val margin = graft.Tables.events(spark, sf)
+        .withColumn("lat",
+          (col("event_id") * 7919 % 18000) / 100.0 - 90.0)
+        .withColumn("lon",
+          (col("event_id") * 104729 % 36000) / 100.0 - 180.0)
+        .withColumn("prev_lat", lag(col("lat"), 1).over(byUser))
+        .withColumn("prev_lon", lag(col("lon"), 1).over(byUser))
+        .filter(col("prev_lat").isNotNull)
+        .select((graft.functions.Geo.bearingDeg(col("prev_lat"),
+          col("prev_lon"), col("lat"), col("lon")) * 1000).as("t"))
+        .select(abs(col("t") - floor(col("t")) - 0.5).as("dist"))
+        .agg(min("dist")).head.getDouble(0)
+      info(f"min distance to a rounding tie at $sf: $margin%.3e " +
+        "millidegrees")
+      assert(margin > 1e-7,
+        f"a bearing sits $margin%.3e millidegrees from a 3-dp " +
+          "rounding tie — cross-engine round() is no longer safe")
+    }
+  }
 }

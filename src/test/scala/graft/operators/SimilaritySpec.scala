@@ -113,6 +113,55 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf reaches recall 0.9 at probed fraction <= 0.15 on " +
+      "CLUSTERED data") {
+    // The fixture embeddings are isotropic — the documented reason
+    // IVF needs probed fraction 0.6 there. This test turns the
+    // "real embeddings cluster, so a small nprobe suffices" claim
+    // into a measured fact: a deterministic clustered fixture
+    // (8 well-separated gaussian clusters, 500 vectors, fixed seed)
+    // written as a normal embeddings.parquet dir, run through the
+    // EXACT ivfTopK code path, must hit recall@3 >= 0.9 while
+    // probing <= 15% of cells.
+    val dir = clusteredFixtureDir
+    val n = EngineConf.parquetRowCount(spark, s"$dir/embeddings.parquet")
+    assert(n == 500)
+    val k = Similarity.ivfCells(n)
+    val nprobe = math.max(2, math.floor(0.15 * k).toInt)
+    assert(nprobe.toDouble / k <= 0.15)
+    val brute = Similarity
+      .queries("similarity_topk_per_query")(spark, dir)
+      .filter("rk <= 3").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = Similarity.ivfTopK(spark, dir, k, nprobe,
+        Similarity.IvfLloydIters).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    info(f"clustered-fixture ann_ivf recall@3 = $recall%.3f " +
+      f"at probed fraction ${nprobe.toDouble / k}%.3f (k=$k)")
+    assert(recall >= 0.9,
+      f"clustered-data recall $recall%.3f < 0.9 — the IVF " +
+        "clustered-data claim does not hold")
+  }
+
+  /** Deterministic clustered embeddings written once per suite run:
+    * 8 gaussian cluster centers in 64-dim, 500 points = center +
+    * N(0, 0.15) noise, cluster chosen as vec_id % 8 so the k lowest
+    * vec_ids (the IVF seeds) cover every cluster. */
+  private lazy val clusteredFixtureDir: String = {
+    val dir = "target/test-fixtures/clustered-embeddings"
+    val rng = new java.util.Random(7L)
+    val centers = Array.fill(8, 64)(rng.nextGaussian())
+    val rows = (0L until 500L).map { id =>
+      val c = centers((id % 8).toInt)
+      (id, c.map(x => (x + 0.15 * rng.nextGaussian()).toFloat))
+    }
+    val s = spark; import s.implicits._
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
   test("ivf cells partition the collection") {
     val (assigned, means) = Similarity.ivfIndex(spark, SparkSpec.sf0001, 16)
     assert(assigned.count() == 500)          // every vector assigned
