@@ -203,6 +203,26 @@ object Aggregates {
           round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
           round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
           round(expr("percentile(l_extendedprice, 0.9)"), 4).as("price_p90"))
+        .orderBy("l_returnflag")),
+
+    // Bivariate statistics: Pearson correlation, sample covariance and
+    // the least-squares fit (slope/intercept) per group — one
+    // partial+final hash aggregate; the co-moment accumulators merge
+    // associatively, so the partial split holds at any scale. Rounds
+    // (4dp on the ~unit-scale corr, 2dp on the rest) absorb the
+    // low-bit differences between the engines' one-pass update orders.
+    "agg_corr" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          round(corr("l_quantity", "l_extendedprice"), 4).as("qp_corr"),
+          round(covar_samp("l_quantity", "l_extendedprice"), 2)
+            .as("qp_covar"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 2)
+            .as("fit_slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2)
+            .as("fit_intercept"))
         .orderBy("l_returnflag"))
   )
 
@@ -316,6 +336,15 @@ object Aggregates {
         | round(quantile_cont(l_quantity, 0.5), 4) AS p50,
         | round(quantile_cont(l_quantity, 0.75), 4) AS p75,
         | round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_corr" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(corr(l_quantity, l_extendedprice), 4) AS qp_corr,
+        | round(covar_samp(l_quantity, l_extendedprice), 2) AS qp_covar,
+        | round(regr_slope(l_extendedprice, l_quantity), 2) AS fit_slope,
+        | round(regr_intercept(l_extendedprice, l_quantity), 2)
+        |   AS fit_intercept
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

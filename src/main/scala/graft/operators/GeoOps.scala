@@ -126,6 +126,37 @@ object GeoOps {
         .select(col("user_id"), col("sector").as("modal_sector"),
           col("n_hops").as("sector_hops"), col("total_hops"))
         .orderBy("user_id")
+    }),
+
+    // Impossible-speed report cleaning — the AIS "teleporting vessel"
+    // filter: hop speed (haversine km over the report gap) above
+    // 500 km/h flags a bad position fix. INTEGER outputs (hop and
+    // flag counts) plus a ratio of those integers (identical ints →
+    // identical division → identical 4-dp round on both engines); the
+    // speed double crosses engines only through the > 500 membership
+    // test, and the fixture's pseudo-random hops sit far from the
+    // threshold (GeoOpsSpec pins the minimum |speed − 500| margin).
+    // One exchange: the hop window and the per-vessel agg both
+    // partition by user_id.
+    "geo_speed_flags" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+      withPos(Tables.events(s, d))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(byUser)))
+        .withColumn("prev_lat", lag(col("lat"), 1).over(byUser))
+        .withColumn("prev_lon", lag(col("lon"), 1).over(byUser))
+        .filter(col("prev_lat").isNotNull && col("gap_us") > 0)
+        .withColumn("speed_kmh",
+          Geo.haversineKm(col("prev_lat"), col("prev_lon"),
+            col("lat"), col("lon")) / (col("gap_us") / 3.6e9))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_hops"),
+          count(when(col("speed_kmh") > 500.0, 1)).as("n_impossible"))
+        .withColumn("bad_ratio",
+          round(col("n_impossible").cast("double") / col("n_hops"), 4))
+        .orderBy("user_id")
     })
   )
 
@@ -236,6 +267,37 @@ object GeoOps {
         |)
         |SELECT user_id, sector AS modal_sector, n_hops AS sector_hops,
         |  CAST(total AS BIGINT) AS total_hops
-        |FROM ranked WHERE rk = 1 ORDER BY user_id""".stripMargin
+        |FROM ranked WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    // Mirrors the haversine arithmetic of the other geo oracles; the
+    // gap is integer µs on both engines.
+    "geo_speed_flags" ->
+      """WITH pos AS (
+        |  SELECT user_id, ts, event_id,
+        |    (event_id * 7919 % 18000) / 100.0 - 90.0 AS lat,
+        |    (event_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+        |  FROM events
+        |), hops AS (
+        |  SELECT user_id, lat, lon,
+        |    lag(lat) OVER win AS plat,
+        |    lag(lon) OVER win AS plon,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER win AS gap_us
+        |  FROM pos
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), spd AS (
+        |  SELECT user_id,
+        |    (2 * 6371.0088 * asin(sqrt(
+        |      pow(sin(radians(lat - plat) / 2), 2) +
+        |      cos(radians(plat)) * cos(radians(lat)) *
+        |      pow(sin(radians(lon - plon) / 2), 2))))
+        |      / (gap_us / 3600000000.0) AS speed_kmh
+        |  FROM hops WHERE plat IS NOT NULL AND gap_us > 0
+        |)
+        |SELECT user_id, count(*) AS n_hops,
+        |  CAST(count(CASE WHEN speed_kmh > 500.0 THEN 1 END) AS BIGINT)
+        |    AS n_impossible,
+        |  round(CAST(count(CASE WHEN speed_kmh > 500.0 THEN 1 END)
+        |      AS DOUBLE) / count(*), 4) AS bad_ratio
+        |FROM spd GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

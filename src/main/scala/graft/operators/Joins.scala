@@ -171,6 +171,27 @@ object Joins {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name")))
+,
+    // The explicit skew-mitigation path as a GRADED query: the salted
+    // equi-join ([[Skew.saltedJoin]] — fact side salted on a
+    // high-cardinality column, dim side replicated across the salt
+    // range) must produce exactly the plain join's answer; the oracle
+    // IS the plain join SQL, so the hash match proves the
+    // rewrite-equivalence on real data, not just on SkewSpec's
+    // synthetic hot key. Supplier per-nation volumes over lineitem —
+    // the join one would salt if a few suppliers dominated the feed.
+    "join_skew_salted" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_suppkey", "l_orderkey", "l_quantity")
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      Skew.saltedJoin(li, sup, joinKey = "l_suppkey",
+          saltFrom = "l_orderkey", saltBuckets = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("s_nationkey")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -258,6 +279,14 @@ object Joins {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name""".stripMargin
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    // The PLAIN join: matching it is the salted rewrite's
+    // equivalence proof.
+    "join_skew_salted" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
   )
 }

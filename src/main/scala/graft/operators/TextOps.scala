@@ -139,6 +139,28 @@ object TextOps {
         .orderBy("lang", "bin")
     }),
 
+    // Edit distance along the per-lang doc_id chain: levenshtein
+    // between each doc and the next doc of its language — the
+    // character-level near-dup verify primitive (candidate pairs from
+    // any blocking scheme would feed the same expression; the chain
+    // gives a deterministic, linear-size pair set). INTEGER outputs;
+    // levenshtein is exactly defined, so no cross-engine float
+    // hazard. Row-local O(len²) DP per pair after one lang-window
+    // exchange — embarrassingly parallel.
+    "text_edit_distance" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      Tables.documents(s, d)
+        .withColumn("next_id", lead("doc_id", 1).over(w))
+        .withColumn("next_text", lead("text", 1).over(w))
+        .filter(col("next_id").isNotNull)
+        .select(col("doc_id"), col("next_id"), col("lang"),
+          levenshtein(col("text"), col("next_text")).as("edit_dist"),
+          (length(col("next_text")) - length(col("text")))
+            .as("len_delta"))
+        .orderBy("doc_id")
+    }),
+
     // Language-ID by marker-token voting: a broadcast profile table of
     // (marker word, lang, weight) joined against exploded tokens,
     // argmax per doc. No-oracle: the heuristic's profile table is
@@ -271,6 +293,18 @@ object TextOps {
         |        x -> CAST(ascii(x) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp,
         |  n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_edit_distance" ->
+      """SELECT doc_id, next_id, lang,
+        |  CAST(levenshtein(text, next_text) AS INTEGER) AS edit_dist,
+        |  CAST(length(next_text) - length(text) AS INTEGER) AS len_delta
+        |FROM (
+        |  SELECT doc_id, lang, text,
+        |    lead(doc_id, 1) OVER win AS next_id,
+        |    lead(text, 1) OVER win AS next_text
+        |  FROM documents
+        |  WINDOW win AS (PARTITION BY lang ORDER BY doc_id)
+        |) t WHERE next_id IS NOT NULL ORDER BY doc_id""".stripMargin
   )
 }

@@ -71,6 +71,36 @@ class GeoOpsSpec extends SparkSpec {
     }
   }
 
+  test("geo_speed_flags: no hop speed sits on the 500 km/h boundary") {
+    // Same pattern as the other margin pins: the speed double crosses
+    // engines only via the > 500 test; pin the minimum distance so a
+    // fixture change landing a hop on the threshold is caught before
+    // the oracle flakes. Contingency then: demote to no-oracle.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    Seq(SparkSpec.sf001, SparkSpec.sf01).foreach { sf =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val margin = graft.Tables.events(spark, sf)
+        .withColumn("lat",
+          (col("event_id") * 7919 % 18000) / 100.0 - 90.0)
+        .withColumn("lon",
+          (col("event_id") * 104729 % 36000) / 100.0 - 180.0)
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(byUser)))
+        .withColumn("prev_lat", lag(col("lat"), 1).over(byUser))
+        .withColumn("prev_lon", lag(col("lon"), 1).over(byUser))
+        .filter(col("prev_lat").isNotNull && col("gap_us") > 0)
+        .select(abs(graft.functions.Geo.haversineKm(col("prev_lat"),
+          col("prev_lon"), col("lat"), col("lon"))
+          / (col("gap_us") / 3.6e9) - 500.0).as("dist"))
+        .agg(min("dist")).head.getDouble(0)
+      info(f"min |speed − 500| at $sf: $margin%.3e km/h")
+      assert(margin > 1e-6,
+        f"a hop speed sits $margin%.3e km/h from the 500 km/h " +
+          "threshold — cross-engine membership is no longer safe")
+    }
+  }
+
   test("geo_headings: no bearing sits on a 3-dp rounding tie") {
     // The sector binning rounds the bearing to 3 dp before floor, so
     // engines can only disagree if a raw bearing lands within the
