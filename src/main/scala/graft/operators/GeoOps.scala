@@ -157,6 +157,29 @@ object GeoOps {
         .withColumn("bad_ratio",
           round(col("n_impossible").cast("double") / col("n_hops"), 4))
         .orderBy("user_id")
+    }),
+
+    // Co-presence (the convoy/rendezvous primitive): vessel pairs
+    // reporting from the SAME 30° zone within the SAME hour, with
+    // meeting counts. The spatio-temporal cell (zone, hour) is the
+    // blocking key — the self-join shuffles once on it and candidate
+    // pairs are quadratic only in CELL occupancy, never in fleet
+    // size (the same candidate→verify shape as the dedup blocks; at
+    // a finer grid the cells shrink and the bound tightens). The
+    // per-hour distinct collapses multi-report presence first so a
+    // chatty vessel can't inflate pair counts. INTEGER outputs.
+    "geo_co_presence" -> ((s, d) => {
+      val pos = withPos(Tables.events(s, d))
+        .withColumn("zone", Geo.gridCell(col("lat"), col("lon"), 30.0))
+        .withColumn("hr", date_trunc("hour", col("ts")))
+        .select("user_id", "zone", "hr").distinct()
+      val a = pos.select(col("user_id").as("u1"), col("zone"), col("hr"))
+      val b = pos.select(col("user_id").as("u2"), col("zone"), col("hr"))
+      a.join(b, Seq("zone", "hr"))
+        .filter(col("u1") < col("u2"))
+        .groupBy("u1", "u2")
+        .agg(count(lit(1)).as("n_meet"))
+        .orderBy("u1", "u2")
     })
   )
 
@@ -298,6 +321,21 @@ object GeoOps {
         |    AS n_impossible,
         |  round(CAST(count(CASE WHEN speed_kmh > 500.0 THEN 1 END)
         |      AS DOUBLE) / count(*), 4) AS bad_ratio
-        |FROM spd GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM spd GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "geo_co_presence" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(((event_id * 7919 % 18000) / 100.0 - 90.0)
+        |      / 30.0) AS BIGINT) || ':' ||
+        |    CAST(floor(((event_id * 104729 % 36000) / 100.0 - 180.0)
+        |      / 30.0) AS BIGINT) AS zone,
+        |    date_trunc('hour', ts) AS hr
+        |  FROM events
+        |)
+        |SELECT a.user_id AS u1, b.user_id AS u2, count(*) AS n_meet
+        |FROM pos a JOIN pos b
+        |  ON a.zone = b.zone AND a.hr = b.hr AND a.user_id < b.user_id
+        |GROUP BY 1, 2 ORDER BY u1, u2""".stripMargin
   )
 }

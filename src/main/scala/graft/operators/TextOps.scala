@@ -139,6 +139,36 @@ object TextOps {
         .orderBy("lang", "bin")
     }),
 
+    // End-to-end corpus preparation — the LLM-training-data pipeline
+    // as ONE declared composite: exact-dedup survivors (min doc_id
+    // per text) → quality gate (≥ 15 whitespace tokens, the "short"
+    // band of text_quality) → contiguous 4096-token shard packing per
+    // lang (text_pack_bins' layout over the filtered corpus). Every
+    // stage is deterministic integer logic, so the whole pipeline is
+    // oracle-checkable end to end. Shape at scale: one text-group
+    // shuffle (at 100 TB you'd swap in the dedup_exact_fingerprint
+    // narrow-shuffle form), then the pack's single per-lang window
+    // exchange.
+    "pipeline_corpus_prep" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val surv = Tables.documents(s, d)
+        .groupBy("text")
+        .agg(min("doc_id").as("doc_id"),
+          min_by(col("lang"), col("doc_id")).as("lang"))
+      val kept = surv
+        .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+        .filter(col("toks") >= 15)
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      kept
+        .withColumn("prefix", sum("toks").over(w) - col("toks"))
+        .withColumn("bin", floor(col("prefix") / 4096))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("toks").as("bin_tokens"),
+          min("doc_id").as("first_doc"))
+        .orderBy("lang", "bin")
+    }),
+
     // Edit distance along the per-lang doc_id chain: levenshtein
     // between each doc and the next doc of its language — the
     // character-level near-dup verify primitive (candidate pairs from
@@ -294,6 +324,27 @@ object TextOps {
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp,
         |  n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pipeline_corpus_prep" ->
+      """WITH surv AS (
+        |  SELECT min(doc_id) AS doc_id, min_by(lang, doc_id) AS lang,
+        |    text
+        |  FROM documents GROUP BY text
+        |), kept AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM surv
+        |  WHERE len(string_split(text, ' ')) >= 15
+        |), p AS (
+        |  SELECT lang, doc_id, toks,
+        |    sum(toks) OVER (PARTITION BY lang ORDER BY doc_id) - toks
+        |      AS prefix
+        |  FROM kept
+        |)
+        |SELECT lang, CAST(floor(prefix / 4096) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens,
+        |  min(doc_id) AS first_doc
+        |FROM p GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
 
     "text_edit_distance" ->
       """SELECT doc_id, next_id, lang,
