@@ -92,4 +92,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("geo_headings: hop window, sector agg, modal windows share ONE" +
+      " user exchange") {
+    // 1 hash (user_id) + 1 range (final sort); a third would mean a
+    // window or the agg lost the shared partitioning
+    assert(shuffleExchanges(plan("geo_headings")) <= 2)
+  }
+
+  test("geo_speed_flags: hop window and per-vessel agg share ONE" +
+      " user exchange") {
+    assert(shuffleExchanges(plan("geo_speed_flags")) <= 2)
+  }
+
+  test("pipeline_corpus_prep: pack agg rides the lang window's" +
+      " partitioning") {
+    // text-group exchange + lang-window exchange + final range sort =
+    // 3; the (lang, bin) aggregate must NOT add a fourth (bin is a
+    // sub-key of the lang partitioning)
+    assert(shuffleExchanges(plan("pipeline_corpus_prep")) <= 3)
+  }
+
+  test("join_skew_salted and join_interval joins stay unhinted-" +
+      "broadcastable at this SF") {
+    // Both must keep a hash-join form the planner chose (broadcast
+    // here, free to degrade to shuffle at scale) — a nested-loop or
+    // cartesian node would mean the equi-keys got lost.
+    Seq("join_skew_salted", "join_interval").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("HashJoin"), s"$q lost its equi-join form")
+      assert(!p.contains("CartesianProduct"))
+      assert(!p.contains("BroadcastNestedLoopJoin"))
+    }
+  }
 }
