@@ -91,8 +91,11 @@ object Functions {
             .as("any_big"))
         .orderBy("vec_id")),
 
-    // Map family — engine-only demo (no map column in the data and
-    // DuckDB map semantics differ; SURVEY §2.1.G marks this no-oracle).
+    // Map family. The data has no map column, so one is BUILT from
+    // events (literal keys, column values); the projected output is
+    // plain scalars, so the query IS oracle-checkable — DuckDB builds
+    // the same MAP and extracts the same entries (round-4 upgrade
+    // from the earlier no-oracle status).
     "map_funcs" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
@@ -133,6 +136,18 @@ object Functions {
   )
 
   val oracles: Map[String, String] = Map(
+    // DuckDB map extraction m['k'] yields a LIST; [1] takes the
+    // single element (1-indexed — SURVEY §2.0 hazard list).
+    "map_funcs" ->
+      """SELECT event_id, CAST(cardinality(m) AS INTEGER) AS n_keys,
+        |  m['type'][1] AS t, CAST(m['k'][1] AS INTEGER) AS k
+        |FROM (
+        |  SELECT event_id,
+        |    MAP {'type': event_type,
+        |         'k': json_extract_string(props, '$.k')} AS m
+        |  FROM events
+        |) t ORDER BY event_id""".stripMargin,
+
     "str_funcs" ->
       """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
         | CAST(length(p_name) AS INTEGER) AS len,

@@ -119,6 +119,29 @@ object Windows {
         .filter(col("rn") <= 2)
         .select("p_brand", "p_partkey", "p_retailprice", "rn")
         .orderBy("p_brand", "rn")
+    }),
+
+    // Running DISTINCT count over a window — an aggregate Spark does
+    // not support directly (no COUNT(DISTINCT) OVER), expressed with
+    // the first-occurrence rewrite: flag each (type, user)'s first
+    // event (row_number = 1 over the per-pair window), then a running
+    // sum of flags over the per-type window counts exactly the
+    // distinct users seen so far. The oracle is DuckDB's NATIVE
+    // windowed DISTINCT aggregate — a genuinely independent
+    // formulation. Both windows partition by event_type (the pair
+    // window is a sub-partition), so the rewrite rides one exchange.
+    "window_distinct_users" -> ((s, d) => {
+      val wFirst = Window.partitionBy("event_type", "user_id")
+        .orderBy("ts", "event_id")
+      val wRun = Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("first_seen",
+          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .withColumn("distinct_users", sum("first_seen").over(wRun))
+        .select("event_id", "event_type", "distinct_users")
+        .orderBy("event_id")
     })
   )
 
@@ -175,6 +198,17 @@ object Windows {
         |WINDOW w AS (PARTITION BY c_nationkey
         |             ORDER BY c_acctbal ASC, c_custkey ASC)
         |ORDER BY c_custkey""".stripMargin,
+
+    // Native windowed DISTINCT — independent of the engine's
+    // first-occurrence rewrite. Explicit ROWS frame: the default
+    // RANGE frame would include ts-tie peers and diverge.
+    "window_distinct_users" ->
+      """SELECT event_id, event_type,
+        | count(DISTINCT user_id) OVER (
+        |   PARTITION BY event_type ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS distinct_users
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "window_first_last" ->
       """SELECT DISTINCT user_id,
