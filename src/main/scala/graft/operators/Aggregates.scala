@@ -223,6 +223,21 @@ object Aggregates {
             .as("fit_slope"),
           round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2)
             .as("fit_intercept"))
+        .orderBy("l_returnflag")),
+
+    // Higher central moments. Definition hazard: Spark's skewness/
+    // kurtosis are the POPULATION statistics (g1 = m3/m2^1.5,
+    // excess g2 = m4/m2² − 3) while DuckDB's natives are the
+    // sample-corrected G1/G2 — so the oracle computes Spark's
+    // definition explicitly from centered-power averages instead of
+    // calling DuckDB's functions. 4-dp round absorbs one-pass vs
+    // two-pass accumulation noise.
+    "agg_higher_moments" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(skewness(col("l_quantity")), 4).as("skew"),
+          round(kurtosis(col("l_quantity")), 4).as("kurt"))
         .orderBy("l_returnflag"))
   )
 
@@ -345,6 +360,25 @@ object Aggregates {
         | round(regr_slope(l_extendedprice, l_quantity), 2) AS fit_slope,
         | round(regr_intercept(l_extendedprice, l_quantity), 2)
         |   AS fit_intercept
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Spark's population definitions, spelled out (DuckDB's native
+    // skewness/kurtosis are sample-corrected and would not match).
+    "agg_higher_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, avg(l_quantity) AS mu
+        |  FROM lineitem GROUP BY 1
+        |), c AS (
+        |  SELECT l.l_returnflag, count(*) AS n,
+        |    avg(pow(l_quantity - mu, 2)) AS m2,
+        |    avg(pow(l_quantity - mu, 3)) AS m3,
+        |    avg(pow(l_quantity - mu, 4)) AS m4
+        |  FROM lineitem l JOIN m USING (l_returnflag)
+        |  GROUP BY 1
+        |)
+        |SELECT l_returnflag, n,
+        |  round(m3 / pow(m2, 1.5), 4) AS skew,
+        |  round(m4 / (m2 * m2) - 3, 4) AS kurt
+        |FROM c ORDER BY l_returnflag""".stripMargin
   )
 }

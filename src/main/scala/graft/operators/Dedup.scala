@@ -351,8 +351,11 @@ object Dedup {
         .select(col("x.n").as("n"),
           least(col("x.lbl"), coalesce(col("plbl"), col("x.lbl")))
             .as("lbl"))
+    // coalesce: sum over an EMPTY frame is null — a pair-free corpus
+    // (no near-dups at all) must converge to an empty labeling, not
+    // NPE the convergence check.
     def lblSum(df: DataFrame): Long =
-      df.agg(sum("lbl")).head.getLong(0)
+      df.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
     var prevSum = lblSum(labels)
     var converged = false
     var round = 0

@@ -93,6 +93,14 @@ class DedupSpec extends SparkSpec {
       "every chain node must label to the component min 0")
   }
 
+  test("ccFixedPoint converges to empty on an empty edge set") {
+    // A corpus with zero near-dup pairs must yield zero clusters,
+    // not NPE the label-sum convergence check.
+    val s = spark; import s.implicits._
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.ccFixedPoint(edges).count() == 0)
+  }
+
   test("ccFixedPoint labels disjoint components independently") {
     val s = spark; import s.implicits._
     // two chains + an isolated pair: 0..30, 100..140, 500-501
