@@ -47,6 +47,17 @@ object IO {
       partitionBy: Seq[String] = Nil): Unit =
     writer(df, partitionBy).json(path)
 
+  // ORC — the other columnar lakehouse format Spark supports
+  // natively (predicate pushdown + column pruning work the same as
+  // parquet through the DSv2 reader). Avro is deliberately absent:
+  // the spark-avro connector jar is not on this classpath.
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit =
+    writer(df, partitionBy).orc(path)
+
   /** Idempotent key-based upsert into a parquet target — MERGE
     * semantics without a table format: rows from `updates` replace
     * target rows with the same key; unmatched target rows survive;

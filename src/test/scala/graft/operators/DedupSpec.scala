@@ -93,6 +93,38 @@ class DedupSpec extends SparkSpec {
       "every chain node must label to the component min 0")
   }
 
+  test("ccFixedPoint matches union-find on seeded random graphs") {
+    // Property check beyond the fixed chain fixtures: three seeded
+    // random graphs (60 nodes, 80 directed edges) compared against a
+    // driver-side union-find with min-root union — an independent
+    // sequential algorithm for the same fixed point.
+    val s = spark; import s.implicits._
+    val rng = new scala.util.Random(11)
+    (1 to 3).foreach { trial =>
+      val n = 60
+      val raw = Seq.fill(80)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x
+        else { parent(x) = find(parent(x)); parent(x) }
+      raw.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val sym = raw.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val labels = Dedup.ccFixedPoint(sym.toDF("a", "b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val nodes = sym.map(_._1).distinct
+      assert(labels.keySet == nodes.toSet)
+      nodes.foreach { nd =>
+        assert(labels(nd) == find(nd.toInt).toLong,
+          s"trial $trial: node $nd labeled ${labels(nd)}, " +
+            s"union-find says ${find(nd.toInt)}")
+      }
+    }
+  }
+
   test("ccFixedPoint converges to empty on an empty edge set") {
     // A corpus with zero near-dup pairs must yield zero clusters,
     // not NPE the label-sum convergence check.

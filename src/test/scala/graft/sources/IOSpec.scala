@@ -34,6 +34,23 @@ class IOSpec extends SparkSpec {
     assert(state() == after)
   }
 
+  test("orc roundtrip preserves schema exactly; filters push down") {
+    val lineitem = graft.Tables.lineitem(spark, SparkSpec.sf0001)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val path = tmp("lineitem_orc")
+    IO.writeOrc(lineitem, path)
+    val back = IO.readOrc(spark, path)
+    assert(back.schema == lineitem.schema) // columnar: no inference loss
+    assert(back.count() == lineitem.count())
+    // Pushdown reaches the ORC reader just like parquet (same DSv2
+    // scan machinery) — the property that makes the format a peer
+    // sink at scale.
+    val plan = back.filter(col("l_quantity") > 25)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("l_quantity"), s"no ORC pushdown in:\n$plan")
+  }
+
   test("csv roundtrip preserves rows under an explicit schema") {
     val nation = graft.Tables.nation(spark, SparkSpec.sf0001)
     val path = tmp("nation_csv")
