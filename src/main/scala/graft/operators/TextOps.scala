@@ -113,8 +113,8 @@ object TextOps {
     "text_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          expr("aggregate(split(text, ''), 7L," +
-            " (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)").as("fp"),
+          graft.functions.GraftFunctions.rollingFingerprint(col("text"))
+            .as("fp"),
           col("n_chars"))
         .orderBy("doc_id")),
 
@@ -175,21 +175,10 @@ object TextOps {
     // any blocking scheme would feed the same expression; the chain
     // gives a deterministic, linear-size pair set). INTEGER outputs;
     // levenshtein is exactly defined, so no cross-engine float
-    // hazard. Row-local O(len²) DP per pair after one lang-window
-    // exchange — embarrassingly parallel.
-    "text_edit_distance" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-      Tables.documents(s, d)
-        .withColumn("next_id", lead("doc_id", 1).over(w))
-        .withColumn("next_text", lead("text", 1).over(w))
-        .filter(col("next_id").isNotNull)
-        .select(col("doc_id"), col("next_id"), col("lang"),
-          levenshtein(col("text"), col("next_text")).as("edit_dist"),
-          (length(col("next_text")) - length(col("text")))
-            .as("len_delta"))
-        .orderBy("doc_id")
-    }),
+    // hazard. Row-local O(len²) DP per pair — embarrassingly
+    // parallel once the pair set exists.
+    "text_edit_distance" -> ((s, d) =>
+      editDistanceChain(Tables.documents(s, d))),
 
     // Language-ID by marker-token voting: a broadcast profile table of
     // (marker word, lang, weight) joined against exploded tokens,
@@ -217,6 +206,58 @@ object TextOps {
         .orderBy("doc_id")
     })
   )
+
+  /** The text_edit_distance pair chain, RANGE-BLOCKED so no single
+    * task ever sorts a whole language (the naive `lead` over a
+    * per-lang window serializes the dominant language — most of the
+    * corpus at 100 TB). doc_ids bucket into fixed ranges; `lead`
+    * runs within (lang, block) — parallelism scales with data — and
+    * the cross-block pairs come back via one NARROW join: each
+    * block's first and last doc (2 rows per non-empty block) chain
+    * per lang in a tiny boundary frame, whose adjacent same-lang,
+    * different-block rows are exactly the pairs the block split cut.
+    * The boundary window is per-lang but over ~2·n/blockSize rows —
+    * serial work shrinks by the block factor instead of growing with
+    * the corpus. Package-visible (+ blockSize param) so the spec can
+    * prove multi-block agreement with the naive single-window form.
+    */
+  private[operators] def editDistanceChain(
+      docs: org.apache.spark.sql.DataFrame,
+      blockSize: Long = 64L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocked = docs.withColumn("blk", floor(col("doc_id") / blockSize))
+    val wBlk = Window.partitionBy("lang", "blk").orderBy("doc_id")
+    val intra = blocked
+      .withColumn("next_id", lead("doc_id", 1).over(wBlk))
+      .withColumn("next_text", lead("text", 1).over(wBlk))
+      .filter(col("next_id").isNotNull)
+      .select("doc_id", "text", "next_id", "next_text", "lang")
+    // Block edge docs: rn 1 (first) and n (last) per (lang, block).
+    val wAsc = Window.partitionBy("lang", "blk").orderBy(col("doc_id"))
+    val wDesc = Window.partitionBy("lang", "blk")
+      .orderBy(col("doc_id").desc)
+    val edge = blocked
+      .withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .filter(col("rn_a") === 1 || col("rn_d") === 1)
+      .select("doc_id", "text", "lang", "blk")
+    // Adjacent edge docs from DIFFERENT blocks = the cut pairs: the
+    // docs between a block's last and the next block's first don't
+    // exist, so the two are adjacent in the full per-lang order too.
+    val wEdge = Window.partitionBy("lang").orderBy("doc_id")
+    val cross = edge
+      .withColumn("next_id", lead("doc_id", 1).over(wEdge))
+      .withColumn("next_text", lead("text", 1).over(wEdge))
+      .withColumn("next_blk", lead("blk", 1).over(wEdge))
+      .filter(col("next_id").isNotNull && col("blk") =!= col("next_blk"))
+      .select("doc_id", "text", "next_id", "next_text", "lang")
+    intra.unionByName(cross)
+      .select(col("doc_id"), col("next_id"), col("lang"),
+        levenshtein(col("text"), col("next_text")).as("edit_dist"),
+        (length(col("next_text")) - length(col("text")))
+          .as("len_delta"))
+      .orderBy("doc_id")
+  }
 
   val oracles: Map[String, String] = Map(
     "text_wordcount" ->

@@ -125,22 +125,43 @@ object Windows {
     // not support directly (no COUNT(DISTINCT) OVER), expressed with
     // the first-occurrence rewrite: flag each (type, user)'s first
     // event (row_number = 1 over the per-pair window), then a running
-    // sum of flags over the per-type window counts exactly the
-    // distinct users seen so far. The oracle is DuckDB's NATIVE
-    // windowed DISTINCT aggregate — a genuinely independent
-    // formulation. Both windows partition by event_type (the pair
-    // window is a sub-partition), so the rewrite rides one exchange.
+    // sum of flags counts exactly the distinct users seen so far. The
+    // oracle is DuckDB's NATIVE windowed DISTINCT aggregate — a
+    // genuinely independent formulation.
+    //
+    // The running sum is TWO-PHASE (a distributed prefix sum): a
+    // per-type window would cap parallelism at the number of event
+    // types (5 here — one task sorts ALL events of a type at 100 TB),
+    // so instead (1) an intra-bucket running sum partitions by
+    // (event_type, UTC day) — parallelism scales with data, not
+    // types; (2) per-bucket flag totals (a tiny types×days frame)
+    // get an EXCLUSIVE running offset per type; (3) a broadcast join
+    // adds the offset back. Day buckets are order-consistent with
+    // (ts, event_id): bucket boundaries are ts-monotonic, so
+    // offset + intra-bucket prefix = the global prefix, row for row.
     "window_distinct_users" -> ((s, d) => {
       val wFirst = Window.partitionBy("event_type", "user_id")
         .orderBy("ts", "event_id")
-      val wRun = Window.partitionBy("event_type")
+      val wIntra = Window.partitionBy("event_type", "day")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
+      val wOffset = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val flagged = Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
         .withColumn("first_seen",
           when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
-        .withColumn("distinct_users", sum("first_seen").over(wRun))
-        .select("event_id", "event_type", "distinct_users")
+      val offsets = flagged
+        .groupBy("event_type", "day")
+        .agg(sum("first_seen").as("day_total"))
+        .withColumn("offset",
+          coalesce(sum("day_total").over(wOffset), lit(0L)))
+        .select("event_type", "day", "offset")
+      flagged
+        .withColumn("intra_run", sum("first_seen").over(wIntra))
+        .join(broadcast(offsets), Seq("event_type", "day"))
+        .select(col("event_id"), col("event_type"),
+          (col("intra_run") + col("offset")).as("distinct_users"))
         .orderBy("event_id")
     })
   )
