@@ -110,13 +110,22 @@ def _bench_queries(path):
     if isinstance(parsed, dict):
         return (parsed.get("queries") or {}, parsed.get("rep2") or {})
 
-    def grab(frag):
-        return {m.group(1): float(m.group(2)) for m in
-                re.finditer(r'"([a-z0-9_]+)":([0-9]+\.[0-9]+)', frag)
+    def grab(frag, truncated_front=False):
+        ms = list(re.finditer(r'"([a-z0-9_]+)":([0-9]+\.[0-9]+)', frag))
+        if truncated_front and ms:
+            # the tail's front is clipped mid-line: the first match's
+            # key may be a garbage suffix (e.g. 'er_complex' from
+            # 'filter_complex') — discard it rather than mis-keying
+            ms = ms[1:]
+        return {m.group(1): float(m.group(2)) for m in ms
                 if m.group(1) not in ("value", "sf", "rep2_total")}
     tail = rec.get("tail") or ""
     head, _, rest = tail.partition('"rep2":')
-    return (grab(head), grab(rest))
+    # anchor at the queries map when the marker survived truncation;
+    # otherwise treat the head's first match as possibly clipped
+    _, qmark, after_q = head.partition('"queries":{')
+    head_q = grab(after_q) if qmark else grab(head, truncated_front=True)
+    return (head_q, grab(rest))
 
 
 def bench_history(repo_dir="."):

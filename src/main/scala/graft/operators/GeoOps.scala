@@ -214,20 +214,28 @@ object GeoOps {
   /** Engine-declared zone shapes: (name, vertices) in centi-degrees,
     * (x, y) = (lon·100, lat·100), implicitly closed. One convex quad,
     * one CONCAVE L (the even-odd rule's interesting case — a
-    * bounding-box test would get it wrong), one triangle. Vertices
-    * chosen off the fixtures' 1-centi-degree position lattice's
-    * edge-collinearity hot spots: no fixture point falls exactly ON
-    * an edge (GeoOpsSpec pins a nonzero crossing margin), so the
-    * strict `>` boundary rule is never exercised ambiguously. */
+    * bounding-box test would get it wrong), one triangle. Every edge
+    * is a PRIMITIVE lattice vector (gcd(|dx|, |dy|) = 1 ⇒ zero
+    * interior lattice points — consecutive lattice points on the
+    * edge's line are spaced exactly (dx, dy) apart), and no vertex
+    * coincides with any of the 36000 positions in the fixtures'
+    * event_id → (px, py) orbit (its period is lcm(36000, 18000), so
+    * the orbit is the same finite set at EVERY sf): no fixture point
+    * falls exactly ON an edge (GeoOpsSpec pins a nonzero crossing
+    * margin), so the strict `>` boundary rule is never exercised
+    * ambiguously. Axis-aligned edges CANNOT satisfy this (a vertical
+    * edge at integer x is hit by every lattice point with px = x in
+    * its span), hence the one-to-three-centi-degree shear on the
+    * strait's rectangle. */
   private[operators] val zonePolygons: Seq[(String, Seq[(Long, Long)])] =
     Seq(
-      "alpha_basin" -> Seq((-6000L, -3000L), (-1000L, -3500L),
-        (0L, 2000L), (-5000L, 3000L)),
-      "bravo_strait" -> Seq((2000L, -8000L), (9000L, -8000L),
-        (9000L, -2000L), (6000L, -2000L), (6000L, -5000L),
-        (2000L, -5000L)),
-      "charlie_wedge" -> Seq((10000L, 3000L), (17000L, 4000L),
-        (12000L, 8500L)))
+      "alpha_basin" -> Seq((-6000L, -3000L), (-1003L, -3502L),
+        (-3L, 2001L), (-5000L, 2997L)),
+      "bravo_strait" -> Seq((1998L, -7999L), (9001L, -8002L),
+        (8997L, -2003L), (6003L, -1998L), (6002L, -5003L),
+        (2001L, -4998L)),
+      "charlie_wedge" -> Seq((9998L, 2997L), (16999L, 3998L),
+        (11999L, 8501L)))
 
   /** Closing edge list (x1, y1, x2, y2) of a vertex ring. */
   private def polyEdges(

@@ -225,7 +225,10 @@ object TextOps {
       docs: org.apache.spark.sql.DataFrame,
       blockSize: Long = 64L): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val blocked = docs.withColumn("blk", floor(col("doc_id") / blockSize))
+    // `div` (integer division) — floor(doc_id / blockSize) goes
+    // through a double and is exact only below 2^53; block keys must
+    // stay exact at any id range or adjacency reconstruction breaks.
+    val blocked = docs.withColumn("blk", expr(s"doc_id div $blockSize"))
     val wBlk = Window.partitionBy("lang", "blk").orderBy("doc_id")
     val intra = blocked
       .withColumn("next_id", lead("doc_id", 1).over(wBlk))

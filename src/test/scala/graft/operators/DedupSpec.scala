@@ -125,6 +125,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ccFixedPoint retry path: cap doubles once, then converges") {
+    // A component just past the configured round cap must degrade to
+    // a slower run (one logged cap doubling), not a dead query: a
+    // 64-node chain needs ~7 propagate+shortcut rounds, so
+    // maxRounds=5 is insufficient and the extension to 10 carries it
+    // through.
+    val s = spark; import s.implicits._
+    val edges = (0L until 63L)
+      .flatMap(i => Seq((i, i + 1), (i + 1, i)))
+      .toDF("a", "b")
+    val warnings = scala.collection.mutable.Buffer[String]()
+    val labels = Dedup.ccFixedPoint(edges, maxRounds = 5,
+        log = warnings += _)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(warnings.exists(_.contains("extending once")),
+      "the cap extension should have fired and logged")
+    assert(labels.size == 64)
+    assert(labels.values.forall(_ == 0L),
+      "every chain node must label to the component min 0")
+  }
+
   test("ccFixedPoint converges to empty on an empty edge set") {
     // A corpus with zero near-dup pairs must yield zero clusters,
     // not NPE the label-sum convergence check.

@@ -101,6 +101,122 @@ class GeoOpsSpec extends SparkSpec {
     }
   }
 
+  test("geo_zone_polygon: fixture points keep a nonzero crossing margin") {
+    // The ray cast's strict `>` crossing rule is only unambiguous
+    // because no fixture point is COLLINEAR with a py-spanning edge
+    // (GeoOps.zonePolygons' vertices are chosen off the position
+    // lattice's hot spots). Pin it: over every (point, edge) pair
+    // where the edge spans py, the integer cross product that decides
+    // the crossing is never zero — at ALL THREE SFs (sf0.1 holds the
+    // complete 36000-point position orbit, so green there covers any
+    // sf), so a fixture or vertex change that lands a point ON an
+    // edge fails here before the oracle flakes.
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    val edges = GeoOps.zonePolygons.flatMap { case (_, verts) =>
+      verts.indices.map { i =>
+        val (x1, y1) = verts(i)
+        val (x2, y2) = verts((i + 1) % verts.size)
+        (x1, y1, x2, y2)
+      }
+    }.toDF("x1", "y1", "x2", "y2")
+    Seq(SparkSpec.sf0001, SparkSpec.sf001, SparkSpec.sf01).foreach { sf =>
+      val pts = graft.Tables.events(spark, sf)
+        .select((col("event_id") * 7919 % 18000 - 9000).as("py"),
+          (col("event_id") * 104729 % 36000 - 18000).as("px"))
+      val margin = pts.crossJoin(edges)
+        .filter((col("y1") > col("py")) =!= (col("y2") > col("py")))
+        .select(abs((col("x2") - col("x1")) * (col("py") - col("y1"))
+          - (col("px") - col("x1")) * (col("y2") - col("y1"))).as("c"))
+        .agg(min("c")).head.getLong(0)
+      info(s"min |cross| over spanning (point, edge) pairs at $sf: $margin")
+      assert(margin > 0L,
+        s"a fixture point at $sf is collinear with a spanning polygon " +
+          "edge — the strict > boundary rule is ambiguous there")
+    }
+  }
+
+  test("geo_zone_polygon: counts match an independent ray cast") {
+    // Differential check beyond the oracle: the classic pnpoly
+    // formulation (double x-intersection + parity toggle — a
+    // genuinely different arithmetic path from the engine's
+    // sign-matched integer cross product) run driver-side over the
+    // same derived positions must reproduce the query's per-zone
+    // event and vessel counts.
+    def inside(px: Long, py: Long, verts: Seq[(Long, Long)]): Boolean = {
+      var in = false
+      var j = verts.size - 1
+      for (i <- verts.indices) {
+        val (xi, yi) = verts(i)
+        val (xj, yj) = verts(j)
+        if ((yi > py) != (yj > py) &&
+            px < (xj - xi).toDouble * (py - yi) / (yj - yi) + xi)
+          in = !in
+        j = i
+      }
+      in
+    }
+    val pts = graft.Tables.events(spark, SparkSpec.sf001)
+      .select("event_id", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = GeoOps.zonePolygons.flatMap { case (zone, verts) =>
+      val hits = pts.filter { case (eid, _) =>
+        inside(eid * 104729 % 36000 - 18000, eid * 7919 % 18000 - 9000,
+          verts)
+      }
+      if (hits.isEmpty) None
+      else Some(zone -> (hits.length.toLong,
+        hits.map(_._2).distinct.length.toLong))
+    }.toMap
+    val got = GeoOps.queries("geo_zone_polygon")(spark, SparkSpec.sf001)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected,
+      s"engine ray cast disagrees with pnpoly: got $got, expected $expected")
+    assert(got.nonEmpty, "fixture should land points in at least one zone")
+  }
+
+  test("geo_co_presence: candidate volume tracks finer-grid occupancy²") {
+    // Synthetic hot cell: 200 vessels co-report inside ONE 30°
+    // cell-hour (a major port at real AIS density), spread two-per-
+    // cell over 100 finer 1° cells. At 30° the self-join faces
+    // C(200,2) candidate pairs in one shuffle partition; at 1° the
+    // candidate volume is Σ C(occ,2) over the FINER cells — the
+    // quadratic moves from fleet size to fine-cell occupancy, which
+    // is the entire point of the cellDeg parameter.
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:05:00")
+    val pos = (0 until 200).map { i =>
+      val cell = i / 2 // two vessels per 1° cell, 100 cells
+      val lat = (cell % 10) + 0.3 + (i % 2) * 0.4
+      val lon = (cell / 10) + 0.3 + (i % 2) * 0.4
+      (i.toLong, lat, lon, ts0)
+    }.toDF("user_id", "lat", "lon", "ts")
+    def candidates(cellDeg: Double): Long = {
+      val cells = GeoOps.presenceCells(pos, cellDeg)
+      cells.select(col("user_id").as("u1"), col("zone"), col("hr"))
+        .join(cells.select(col("user_id").as("u2"), col("zone"),
+          col("hr")), Seq("zone", "hr"))
+        .filter(col("u1") < col("u2"))
+        .count()
+    }
+    val coarse = candidates(30.0)
+    val fine = candidates(1.0)
+    assert(coarse == 199L * 200L / 2L,
+      s"one hot 30° cell must face C(200,2) candidates, got $coarse")
+    assert(fine == 100L,
+      s"at 1° the candidates are 100 cells x C(2,2), got $fine")
+    // and the finer grid changes only the BOUND, not which pairs are
+    // truly co-located: every 1° pair survives in the 30° output
+    val finePairs = GeoOps.coPresence(pos, 1.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val coarsePairs = GeoOps.coPresence(pos, 30.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(finePairs.subsetOf(coarsePairs))
+    assert(finePairs.size == 100)
+  }
+
   test("geo_headings: no bearing sits on a 3-dp rounding tie") {
     // The sector binning rounds the bearing to 3 dp before floor, so
     // engines can only disagree if a raw bearing lands within the

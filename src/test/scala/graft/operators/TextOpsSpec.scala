@@ -21,4 +21,33 @@ class TextOpsSpec extends SparkSpec {
       rs.foreach(r => assert(r.getLong(3) > 0))
     }
   }
+
+  test("text_edit_distance: blocked chain equals the naive per-lang window") {
+    // The range-blocked chain (intra-block lead + boundary-join
+    // reconstruction) must produce EXACTLY the naive single-window
+    // pair set — at block sizes small enough that every language
+    // spans many blocks, so the cross-block reconstruction is
+    // actually exercised, not vacuously bypassed.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, graft.SparkSpec.sf001)
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val naive = docs
+      .withColumn("next_id", lead("doc_id", 1).over(w))
+      .withColumn("next_text", lead("text", 1).over(w))
+      .filter(col("next_id").isNotNull)
+      .select(col("doc_id"), col("next_id"), col("lang"),
+        levenshtein(col("text"), col("next_text")).as("edit_dist"),
+        (length(col("next_text")) - length(col("text")))
+          .as("len_delta"))
+      .orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    assert(naive.nonEmpty)
+    Seq(4L, 16L, 64L).foreach { bs =>
+      val blocked = TextOps.editDistanceChain(docs, bs)
+        .collect().map(_.toString).toSeq
+      assert(blocked == naive,
+        s"blockSize=$bs: blocked chain diverges from the naive window")
+    }
+  }
 }
