@@ -97,6 +97,39 @@ object EventOps {
         .select(col("event_id"), col("user_id"), col("value"),
           round((col("value") - col("mu")) / col("sd"), 4).as("z"))
         .orderBy("event_id")
+    }),
+
+    // Ordered conversion funnel view → click → purchase: stage k
+    // counts users whose earliest qualifying event STRICTLY follows
+    // their stage-(k−1) time — sequencing analytics, not mere
+    // per-type counts (a purchase before the first view doesn't
+    // convert). Three whole-partition min-over-window passes share
+    // ONE user_id exchange (unordered frames — no sort); the per-user
+    // collapse reuses the same partitioning. The oracle formulates
+    // the funnel as chained join+min stages — a genuinely different
+    // shape for the same semantics. INTEGER outputs; the strict->
+    // ts comparisons are exact (µs-aligned fixture on both engines).
+    "events_funnel" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click"
+            && col("ts") > col("t1"), col("ts"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase"
+            && col("ts") > col("t2"), col("ts"))).over(w))
+        .groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+        .agg(count("t1").as("v"), count("t2").as("c"), count("t3").as("p"))
+        .select(explode(array(
+          struct(lit("1_view").as("stage"), col("v").as("n_users")),
+          struct(lit("2_click").as("stage"), col("c").as("n_users")),
+          struct(lit("3_purchase").as("stage"), col("p").as("n_users"))))
+          .as("r"))
+        .select(col("r.stage").as("stage"), col("r.n_users").as("n_users"))
+        .orderBy("stage")
     })
   )
 
@@ -159,6 +192,25 @@ object EventOps {
         |  FROM events
         |) t
         |WHERE sd > 0 AND abs(value - mu) > 2 * sd
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "events_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+        |)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_view' AS stage, count(*) AS n_users FROM s1
+        |  UNION ALL SELECT '2_click', count(*) FROM s2
+        |  UNION ALL SELECT '3_purchase', count(*) FROM s3
+        |) f ORDER BY stage""".stripMargin
   )
 }

@@ -208,7 +208,63 @@ object GeoOps {
     // occupancy² of the FINER cells — GeoOpsSpec proves the bound on
     // a synthetic hot cell.
     "geo_co_presence" -> ((s, d) =>
-      coPresence(withPos(Tables.events(s, d)), cellDeg = 30.0))
+      coPresence(withPos(Tables.events(s, d)), cellDeg = 30.0)),
+
+    // Port-dwell accounting — time spent per (vessel, zone): each
+    // report-to-report gap of ≤ 30 min (the voyage threshold — a
+    // longer gap is a voyage break, not presence) is attributed to
+    // the zone of the EARLIER report. INTEGER arithmetic end to end:
+    // gaps are µs longs, summed then `div`-ed to whole seconds — no
+    // float crosses engines. One exchange: the hop window partitions
+    // by user_id and the (user, zone) agg's clustering is satisfied
+    // by the same hash partitioning (user_id ⊆ group keys), exactly
+    // like geo_voyages' per-voyage agg.
+    "geo_zone_dwell" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      withPos(Tables.events(s, d))
+        .withColumn("zone", Geo.gridCell(col("lat"), col("lon"), 30.0))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(byUser)))
+        .withColumn("prev_zone", lag("zone", 1).over(byUser))
+        .filter(col("prev_zone").isNotNull
+          && col("gap_us") <= 1800L * 1000000L)
+        .groupBy(col("user_id"), col("prev_zone").as("zone"))
+        .agg(expr("sum(gap_us) div 1000000").as("dwell_s"),
+          count(lit(1)).as("n_hops"))
+        .orderBy("user_id", "zone")
+    }),
+
+    // Zone ENTRIES — how many times vessels enter each polygon zone
+    // (port-call counting): per (zone, vessel) order the reports by
+    // (ts, event_id) and count inside-flag rising edges (inside now,
+    // outside or absent before). Composes the integer ray cast with
+    // a lag window; INTEGER outputs. Scale shape: the explode
+    // multiplies rows by the zone count, the window partitions by
+    // (zone, user_id) — parallelism scales with vessels × zones, and
+    // the per-zone agg's clustering is satisfied by the same
+    // exchange (zone ⊆ group keys).
+    "geo_zone_entries" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pts = Tables.events(s, d)
+        .withColumn("py", col("event_id") * 7919 % 18000 - 9000)
+        .withColumn("px", col("event_id") * 104729 % 36000 - 18000)
+      val zoneFlags = zonePolygons.map { case (z, verts) =>
+        struct(lit(z).as("zone"), insideExpr(verts).as("inside"))
+      }
+      val w = Window.partitionBy("zone", "user_id").orderBy("ts", "event_id")
+      pts
+        .select(col("user_id"), col("ts"), col("event_id"),
+          explode(array(zoneFlags: _*)).as("zf"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("zf.zone").as("zone"), col("zf.inside").as("inside"))
+        .withColumn("prev_in", lag("inside", 1).over(w))
+        .filter(col("inside") && (col("prev_in").isNull || !col("prev_in")))
+        .groupBy("zone")
+        .agg(count(lit(1)).as("n_entries"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("zone")
+    })
   )
 
   /** Engine-declared zone shapes: (name, vertices) in centi-degrees,
@@ -264,23 +320,26 @@ object GeoOps {
       " > 0) = (e.y2 > e.y1), 1, 0)) % 2 = 1")
   }
 
-  /** The same ray cast as DuckDB SQL, GENERATED from [[zonePolygons]]
-    * — the oracle's polygon data and the engine's share one
-    * definition site. */
-  private def zonePolygonOracle: String = {
-    val edgeRows = zonePolygons.flatMap { case (z, verts) =>
+  /** The polygon edge list as a DuckDB VALUES body, GENERATED from
+    * [[zonePolygons]] — the oracles' polygon data and the engine's
+    * share one definition site. */
+  private def edgeValuesSql: String =
+    zonePolygons.flatMap { case (z, verts) =>
       polyEdges(verts).map { case (x1, y1, x2, y2) =>
         s"    ('$z', CAST($x1 AS BIGINT), CAST($y1 AS BIGINT)," +
           s" CAST($x2 AS BIGINT), CAST($y2 AS BIGINT))"
       }
     }.mkString(",\n")
+
+  /** The same ray cast as DuckDB SQL (zone membership counts). */
+  private def zonePolygonOracle: String =
     s"""WITH pts AS (
        |  SELECT event_id, user_id,
        |    event_id * 7919 % 18000 - 9000 AS py,
        |    event_id * 104729 % 36000 - 18000 AS px
        |  FROM events
        |), edges(zone, x1, y1, x2, y2) AS (VALUES
-       |$edgeRows
+       |$edgeValuesSql
        |), crossings AS (
        |  SELECT p.event_id, p.user_id, e.zone,
        |    sum(CASE WHEN (e.y1 > p.py) <> (e.y2 > p.py)
@@ -294,7 +353,36 @@ object GeoOps {
        |  count(DISTINCT user_id) AS n_users
        |FROM crossings WHERE n_cross % 2 = 1
        |GROUP BY zone ORDER BY zone""".stripMargin
-  }
+
+  /** The same ray cast + rising-edge entry count as DuckDB SQL: an
+    * independent formulation of the same funnel of CTEs (the lag
+    * window runs over EVERY (event, zone) pair, as in the engine). */
+  private def zoneEntriesOracle: String =
+    s"""WITH pts AS (
+       |  SELECT event_id, user_id, ts,
+       |    event_id * 7919 % 18000 - 9000 AS py,
+       |    event_id * 104729 % 36000 - 18000 AS px
+       |  FROM events
+       |), edges(zone, x1, y1, x2, y2) AS (VALUES
+       |$edgeValuesSql
+       |), ins AS (
+       |  SELECT p.event_id, p.user_id, p.ts, e.zone,
+       |    sum(CASE WHEN (e.y1 > p.py) <> (e.y2 > p.py)
+       |      AND (((e.x2 - e.x1) * (p.py - e.y1)
+       |            - (p.px - e.x1) * (e.y2 - e.y1)) > 0) = (e.y2 > e.y1)
+       |      THEN 1 ELSE 0 END) % 2 = 1 AS inside
+       |  FROM pts p CROSS JOIN edges e
+       |  GROUP BY 1, 2, 3, 4
+       |), seq AS (
+       |  SELECT zone, user_id, inside,
+       |    lag(inside) OVER (PARTITION BY zone, user_id
+       |      ORDER BY ts, event_id) AS prev_in
+       |  FROM ins
+       |)
+       |SELECT zone, count(*) AS n_entries,
+       |  count(DISTINCT user_id) AS n_users
+       |FROM seq WHERE inside AND (prev_in IS NULL OR NOT prev_in)
+       |GROUP BY zone ORDER BY zone""".stripMargin
 
   /** Co-presence pairs over any positioned frame (user_id, lat, lon,
     * ts) at a given grid size. Split out + package-visible so the
@@ -461,6 +549,32 @@ object GeoOps {
         |FROM spd GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "geo_zone_polygon" -> zonePolygonOracle,
+
+    "geo_zone_entries" -> zoneEntriesOracle,
+
+    // Mirrors geo_zone_dwell: zone of the earlier report, integer µs
+    // gaps, whole-second integer division (DuckDB's sum is HUGEINT —
+    // cast back to BIGINT to match Spark's long).
+    "geo_zone_dwell" ->
+      """WITH zoned AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(floor(((event_id * 7919 % 18000) / 100.0 - 90.0)
+        |      / 30.0) AS BIGINT) || ':' ||
+        |    CAST(floor(((event_id * 104729 % 36000) / 100.0 - 180.0)
+        |      / 30.0) AS BIGINT) AS zone
+        |  FROM events
+        |), hops AS (
+        |  SELECT user_id,
+        |    lag(zone) OVER win AS zone,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER win AS gap_us
+        |  FROM zoned
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id, zone,
+        |  CAST(sum(gap_us) // 1000000 AS BIGINT) AS dwell_s,
+        |  count(*) AS n_hops
+        |FROM hops WHERE zone IS NOT NULL AND gap_us <= 1800000000
+        |GROUP BY 1, 2 ORDER BY user_id, zone""".stripMargin,
 
     "geo_co_presence" ->
       """WITH pos AS (

@@ -113,6 +113,32 @@ class PlanSpec extends SparkSpec {
     assert(shuffleExchanges(plan("pipeline_corpus_prep")) <= 3)
   }
 
+  test("geo_zone_dwell: hop window and (user, zone) agg share ONE" +
+      " user exchange") {
+    // 1 hash (user_id) + 1 range (final sort); the (user_id, zone)
+    // aggregate's clustering is satisfied by the window's hash
+    // partitioning (user_id ⊆ group keys) — a third exchange would
+    // mean that property broke
+    assert(shuffleExchanges(plan("geo_zone_dwell")) <= 2)
+  }
+
+  test("geo_zone_entries: entry window partitions by (zone, user)") {
+    // 1 hash ((zone, user_id) window) + 1 hash (per-zone distinct
+    // agg — zone alone is a coarser key than the window's, so this
+    // re-shuffle is expected) + 1 range (final sort)
+    assert(shuffleExchanges(plan("geo_zone_entries")) <= 3)
+    assert(plan("geo_zone_entries").contains("Window"))
+  }
+
+  test("events_funnel: all three stage windows share ONE user exchange") {
+    val p = plan("events_funnel")
+    // 1 hash (user_id, shared by all three unordered windows and the
+    // per-user collapse) + 1 single-partition (global count) + the
+    // trivial 3-row sort; more would mean a stage window re-shuffled
+    assert(countOf(p, "Window") >= 3)
+    assert(shuffleExchanges(p) <= 3)
+  }
+
   test("join_skew_salted and join_interval joins stay unhinted-" +
       "broadcastable at this SF") {
     // Both must keep a hash-join form the planner chose (broadcast
