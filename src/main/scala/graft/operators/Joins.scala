@@ -159,6 +159,45 @@ object Joins {
         .orderBy("purchase_id")
     }),
 
+    // Tolerance as-of: the as-of merge with a MAX STALENESS — each
+    // purchase pairs with its most recent prior click only if that
+    // click is at most 1 h old, else NULL (sensor-fusion semantics:
+    // a position report takes the last weather fix unless the fix is
+    // stale). Same union-merge shape as join_asof — one user_id
+    // exchange, bounded per-key state, no click×purchase
+    // intermediate — carrying the last click's ts alongside its id;
+    // the staleness test is integer µs. The oracle keeps the
+    // join+row_number formulation with the tolerance as a join-window
+    // predicate — equivalent because if the MOST RECENT prior click
+    // is stale, every earlier one is staler.
+    "join_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("kind"),
+          col("event_id"),
+          col("event_id").as("click_id"),
+          lit(null).cast("long").as("purchase_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("kind"),
+          col("event_id"),
+          lit(null).cast("long").as("click_id"),
+          col("event_id").as("purchase_id"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionAll(purchases)
+        .withColumn("last_click",
+          last(col("click_id"), ignoreNulls = true).over(w))
+        .withColumn("last_click_us",
+          last(when(col("kind") === 0, unix_micros(col("ts"))),
+            ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("purchase_id"),
+          when(unix_micros(col("ts")) - col("last_click_us")
+            <= 3600L * 1000000L, col("last_click")).as("click_id"))
+        .orderBy("purchase_id")
+    }),
+
     // Multi-join pipeline (TPC-H Q5-ish): revenue by nation in ASIA.
     "join_5way" -> ((s, d) =>
       Tables.customer(s, d)
@@ -289,6 +328,17 @@ object Joins {
         |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |    ON p.user_id = c.user_id AND c.ts >= p.ts
+        |) t WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+
+    "join_asof_tolerance" ->
+      """SELECT purchase_id, click_id FROM (
+        |  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |                       ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |       AND c.ts >= p.ts - INTERVAL 1 HOUR
         |) t WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
 
     "join_5way" ->

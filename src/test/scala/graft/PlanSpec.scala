@@ -113,6 +113,20 @@ class PlanSpec extends SparkSpec {
     assert(shuffleExchanges(plan("pipeline_corpus_prep")) <= 3)
   }
 
+  test("window_distinct_users: the running sum partitions by" +
+      " (type, day) buckets") {
+    // The two-phase prefix sum's entire point: the intra-bucket
+    // window partitions by (event_type, day), so parallelism scales
+    // with buckets instead of the 5 event types. A hashpartitioning
+    // on event_type alone here would mean the rewrite regressed to
+    // the serial per-type window.
+    val p = plan("window_distinct_users")
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("event_type")
+        && l.contains("day")),
+      "no exchange partitions by (event_type, day)")
+  }
+
   test("geo_zone_dwell: hop window and (user, zone) agg share ONE" +
       " user exchange") {
     // 1 hash (user_id) + 1 range (final sort); the (user_id, zone)
