@@ -323,8 +323,43 @@ object Dedup {
     * leaves the cluster. */
   private[operators] def ccFixedPoint(edges: DataFrame,
       maxRounds: Int = 12,
-      log: String => Unit = System.err.println): DataFrame = {
+      log: String => Unit = System.err.println,
+      localSolveMaxEdges: Long = 1L << 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // Small-graph fast path — the SAME decision a broadcast join
+    // makes: when the pair graph is below a bounded threshold (1M
+    // edges ≈ 16 MB of longs, the autoBroadcastJoinThreshold scale),
+    // a driver-side union-find replaces ~2·log(diameter) distributed
+    // jobs whose per-job overhead dominates at this size (measured:
+    // the sf0.1 graph is 47 nodes, yet the loop's ~7 rounds cost
+    // ~5 s of pure job scheduling). Near-dup pair graphs are sparse
+    // BY CONSTRUCTION (banding emits rare candidates), so even a
+    // 100-TB corpus often lands here; past the threshold the
+    // distributed pointer-jump below runs unchanged (spec-covered by
+    // forcing localSolveMaxEdges = 0).
+    if (edges.count() <= localSolveMaxEdges) {
+      val es = edges.select(col("a").cast("long"), col("b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra < rb) parent(rb) = ra
+        else if (rb < ra) parent(ra) = rb
+      }
+      val s = edges.sparkSession
+      import s.implicits._
+      return parent.keys.toSeq.sorted.map(n => (n, find(n)))
+        .toDF("n", "lbl")
+    }
     // Initialization WITH the first propagation step fused in: every
     // node appears as `a` in the symmetric edge set, so one
     // aggregation seeds lbl = min(self, min neighbor) — no join, and

@@ -86,11 +86,17 @@ class DedupSpec extends SparkSpec {
     val edges = (0L until 99L)
       .flatMap(i => Seq((i, i + 1), (i + 1, i)))
       .toDF("a", "b")
-    val labels = Dedup.ccFixedPoint(edges)
+    // localSolveMaxEdges = 0 forces the DISTRIBUTED pointer-jump path
+    // (the default would take the small-graph union-find shortcut)
+    val labels = Dedup.ccFixedPoint(edges, localSolveMaxEdges = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(labels.size == 100)
     assert(labels.values.forall(_ == 0L),
       "every chain node must label to the component min 0")
+    // and the small-graph fast path agrees exactly
+    val fast = Dedup.ccFixedPoint(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fast == labels, "fast path diverges from pointer jump")
   }
 
   test("ccFixedPoint matches union-find on seeded random graphs") {
@@ -113,7 +119,10 @@ class DedupSpec extends SparkSpec {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val sym = raw.flatMap { case (a, b) => Seq((a, b), (b, a)) }
-      val labels = Dedup.ccFixedPoint(sym.toDF("a", "b")).collect()
+      // force the distributed path: comparing the fast path (itself a
+      // union-find) against this spec's union-find would be circular
+      val labels = Dedup.ccFixedPoint(sym.toDF("a", "b"),
+          localSolveMaxEdges = 0).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toMap
       val nodes = sym.map(_._1).distinct
       assert(labels.keySet == nodes.toSet)
@@ -137,7 +146,7 @@ class DedupSpec extends SparkSpec {
       .toDF("a", "b")
     val warnings = scala.collection.mutable.Buffer[String]()
     val labels = Dedup.ccFixedPoint(edges, maxRounds = 5,
-        log = warnings += _)
+        log = warnings += _, localSolveMaxEdges = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(warnings.exists(_.contains("extending once")),
       "the cap extension should have fired and logged")
@@ -152,6 +161,9 @@ class DedupSpec extends SparkSpec {
     val s = spark; import s.implicits._
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Dedup.ccFixedPoint(edges).count() == 0)
+    // the distributed path too (localSolveMaxEdges = -1 disables the
+    // fast path even for the empty frame)
+    assert(Dedup.ccFixedPoint(edges, localSolveMaxEdges = -1).count() == 0)
   }
 
   test("ccFixedPoint labels disjoint components independently") {
