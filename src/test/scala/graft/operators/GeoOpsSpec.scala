@@ -217,6 +217,34 @@ class GeoOpsSpec extends SparkSpec {
     assert(finePairs.size == 100)
   }
 
+  test("geo_meeting_streaks: islanding finds runs the fixture lacks") {
+    // The graded fixture's sparse traffic never yields a multi-hour
+    // streak (max streak 1 at sf0.01), so the islanding logic needs a
+    // synthetic convoy: vessels 1+2 co-report hours 0,1,2 and 5,6
+    // (max streak 3, total 5); vessel 3 joins them only in hour 5
+    // (two pairs with streak 1 each). Multi-report hours must not
+    // inflate counts (hour 0 has two reports).
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    def t(h: Int, m: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val here = (2.0, 3.0) // one 30° cell
+    val pos = (Seq((1L, t(0)), (2L, t(0)), (1L, t(0, 30)), (2L, t(0, 45)),
+      (1L, t(1)), (2L, t(1)), (1L, t(2)), (2L, t(2)),
+      (1L, t(5)), (2L, t(5)), (3L, t(5)), (1L, t(6)), (2L, t(6)),
+      // vessel 3 alone later: no pair rows from this
+      (3L, t(9))))
+      .map { case (u, ts) => (u, here._1, here._2, ts) }
+      .toDF("user_id", "lat", "lon", "ts")
+    val got = GeoOps.meetingStreaks(pos, cellDeg = 30.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      (1L, 2L) -> (3L, 5L), // runs 0-1-2 and 5-6: longest 3, total 5
+      (1L, 3L) -> (1L, 1L),
+      (2L, 3L) -> (1L, 1L)))
+  }
+
   test("geo_headings: no bearing sits on a 3-dp rounding tie") {
     // The sector binning rounds the bearing to 3 dp before floor, so
     // engines can only disagree if a raw bearing lands within the

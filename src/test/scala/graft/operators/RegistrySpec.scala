@@ -17,11 +17,13 @@ class RegistrySpec extends SparkSpec {
   }
 
   // Queries allowed to be empty at the toy SF: dedup_* (the dup
-  // fixtures only exist at sf0.1 — FIXTURES.md) and geo_co_presence
-  // (1000 events over a month almost never put two vessels in the
-  // same zone-hour; the graded t2 SFs return 79 / 56398 rows).
+  // fixtures only exist at sf0.1 — FIXTURES.md) and the co-presence
+  // pair family (1000 events over a month almost never put two
+  // vessels in the same zone-hour; the graded t2 SFs return 79 /
+  // 56398 pair rows, and geo_meeting_streaks one row per pair).
   private def mayBeEmpty(name: String): Boolean =
-    name.startsWith("dedup_") || name == "geo_co_presence"
+    name.startsWith("dedup_") || name == "geo_co_presence" ||
+      name == "geo_meeting_streaks"
 
   // One test per query: runs + identical output across two runs
   // (catches missing total-order ORDER BY without needing DuckDB).
