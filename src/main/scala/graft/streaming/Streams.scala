@@ -16,6 +16,13 @@ case class SessionOut(user_id: Long, n_events: Long,
     t_start: java.sql.Timestamp, t_end: java.sql.Timestamp,
     total_value: Double)
 
+/** Funnel progression state: earliest qualifying epoch-micros per
+  * stage, -1 = not reached. */
+case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+/** Emitted stage completion. */
+case class FunnelOut(user_id: Long, stage: String, ts: java.sql.Timestamp)
+
 /** Structured-Streaming twins of the Category-H batch operators
   * (SURVEY.md §2.1.H): the same event-stream semantics expressed over
   * an unbounded source with watermarks.
@@ -31,6 +38,15 @@ case class SessionOut(user_id: Long, n_events: Long,
   * partitions.
   */
 object Streams {
+
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  private def toTs(m: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(m / 1000000L * 1000L)
+    t.setNanos((m % 1000000L).toInt * 1000)
+    t
+  }
 
   /** File-source entry: stream the events table from a directory of
     * parquet files. The schema is pinned from a RAW batch read (ts
@@ -106,13 +122,6 @@ object Streams {
   def statefulSessions(events: Dataset[EventRow]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMicros = 1800L * 1000000L
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
-    def toTs(m: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(m / 1000000L * 1000L)
-      t.setNanos((m % 1000000L).toInt * 1000)
-      t
-    }
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -136,6 +145,45 @@ object Streams {
             }
           }
           open.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming twin of events_funnel: per-user funnel PROGRESSION
+    * with explicit state — a completion record emits the moment a
+    * user's earliest qualifying event for a stage is seen (stage k
+    * must strictly follow the user's stage-(k−1) time, the batch
+    * query's semantics). State per key is three epoch-micros longs,
+    * O(active users) total. Greedy in-order processing equals the
+    * batch min-based formulation when the feed is ts-ordered (same
+    * caveat as [[dedup]]); an out-of-order view behind the watermark
+    * could lower t1 in batch but not here — production would pair
+    * this with a watermark-delayed source sort. */
+  def statefulFunnel(events: Dataset[EventRow]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EventRow], state: GroupState[FunnelState]) =>
+          val evs = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = Seq.newBuilder[FunnelOut]
+          evs.foreach { e =>
+            val t = micros(e.ts)
+            if (e.event_type == "view" && s.t1 < 0) {
+              s = s.copy(t1 = t)
+              out += FunnelOut(uid, "1_view", toTs(t))
+            } else if (e.event_type == "click"
+                && s.t1 >= 0 && s.t2 < 0 && t > s.t1) {
+              s = s.copy(t2 = t)
+              out += FunnelOut(uid, "2_click", toTs(t))
+            } else if (e.event_type == "purchase"
+                && s.t2 >= 0 && s.t3 < 0 && t > s.t2) {
+              s = s.copy(t3 = t)
+              out += FunnelOut(uid, "3_purchase", toTs(t))
+            }
+          }
+          state.update(s)
           out.result().iterator
       }
   }

@@ -107,6 +107,47 @@ class StreamingSpec extends SparkSpec {
     assert(twoBatch == closedBatchSessions)
   }
 
+  test("stateful funnel: stage completions == batch funnel, across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streams.statefulFunnel(ms.toDF().as[EventRow]).writeStream
+      .format("memory").queryName("t_funnel").outputMode("append").start()
+    // two micro-batches split mid-stream: stage state (t1/t2/t3) must
+    // survive the boundary for cross-batch conversions to emit
+    val (b1, b2) = batchEvents.splitAt(batchEvents.length / 2)
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = asSet(spark.table("t_funnel"))
+    // independent sequential truth: first view, first click strictly
+    // after it, first purchase strictly after that — per user
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val expected = batchEvents.groupBy(_.user_id).flatMap {
+      case (u, evs) =>
+        val sorted = evs.sortBy(e => (us(e.ts), e.event_id))
+        val t1 = sorted.find(_.event_type == "view").map(_.ts)
+        val t2 = t1.flatMap(a => sorted.find(e =>
+          e.event_type == "click" && us(e.ts) > us(a)).map(_.ts))
+        val t3 = t2.flatMap(b => sorted.find(e =>
+          e.event_type == "purchase" && us(e.ts) > us(b)).map(_.ts))
+        Seq(t1.map(t => s"$u|1_view|$t"), t2.map(t => s"$u|2_click|$t"),
+          t3.map(t => s"$u|3_purchase|$t")).flatten
+    }.toSet
+    assert(streamed == expected)
+    // and the per-stage completion counts equal the DECLARED batch
+    // query's user counts
+    val batchCounts = graft.operators.EventOps.queries("events_funnel")(
+      spark, SparkSpec.sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamCounts = spark.table("t_funnel").groupBy("stage").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(batchCounts.filter(_._2 > 0) == streamCounts)
+  }
+
   test("stream-stream interval join: stream == batch (same function)") {
     // intervalJoin is watermark-annotated but batch-applicable
     // (watermarks are a no-op on batch frames) — so the same code IS
