@@ -95,6 +95,33 @@ object Multimodal {
             .as("first_byte"))
         .orderBy("doc_id")),
 
+    // Resize through the same per-partition codec path — every
+    // payload nearest-neighbor-resampled to a fixed 64-byte plane
+    // (the thumbnail/fixed-input-tensor step of a media pipeline),
+    // summarized by an unsigned byte checksum. ORACLE-CHECKED, unlike
+    // the feature stub: the corpus is ASCII, so byte k of the payload
+    // IS character k of the text and DuckDB can replay the
+    // index-mapped resample with substring arithmetic — the one
+    // multimodal op where the full codec path is value-verified
+    // cross-engine.
+    "multimodal_resize" -> ((s, d) => {
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("n_bytes_in", IntegerType),
+        StructField("n_bytes_out", IntegerType),
+        StructField("byte_sum", LongType)))
+      val rdd = mediaTable(s, d).select("doc_id", "payload").rdd
+        .mapPartitions { it =>
+          it.map { r =>
+            val bytes = r.getAs[Array[Byte]](1)
+            val out = MediaCodec.resize(bytes, 64)
+            Row(r.getLong(0), bytes.length, out.length,
+              out.map(b => (b & 0xFF).toLong).sum)
+          }
+        }
+      s.createDataFrame(rdd, schema).orderBy("doc_id")
+    }),
+
     // Feature extraction via per-partition batch iteration — the
     // mapPartitions path a real decoder would use (one codec init per
     // partition, streamed batches, no collect). No-oracle: the codec
@@ -130,6 +157,19 @@ object Multimodal {
         | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         | 'text/plain' AS mime, lang,
         | CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS first_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Replays MediaCodec.resize byte-for-byte: output position i maps
+    // to input index (i·len) div 64 (0-based) = substring position
+    // +1 (1-based); ascii(char) == unsigned byte on this ASCII corpus.
+    "multimodal_resize" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_bytes_in,
+        |  CAST(64 AS INTEGER) AS n_bytes_out,
+        |  CAST(list_sum(list_transform(range(0, 64),
+        |    i -> ascii(substring(text,
+        |      CAST(i * length(text) // 64 AS INTEGER) + 1, 1))))
+        |    AS BIGINT) AS byte_sum
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -47,6 +47,20 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("MediaCodec.resize: identity at same length, zeros on empty") {
+    val bytes = Array[Byte](10, 20, 30, 40, 50)
+    assert(Multimodal.MediaCodec.resize(bytes, 5).toSeq == bytes.toSeq,
+      "same-length resize must be the identity")
+    assert(Multimodal.MediaCodec.resize(Array.empty[Byte], 8).toSeq ==
+      Seq.fill(8)(0.toByte))
+    // downsample picks index i*len/outLen: 0,2 for len 5 -> 2
+    assert(Multimodal.MediaCodec.resize(bytes, 2).toSeq ==
+      Seq[Byte](10, 30))
+    // upsample repeats: 10,10,20,20,30,30,40,40,50,50
+    assert(Multimodal.MediaCodec.resize(bytes, 10).toSeq ==
+      Seq[Byte](10, 10, 20, 20, 30, 30, 40, 40, 50, 50))
+  }
+
   test("media table carries binary payload + typed metadata") {
     val mt = Multimodal.mediaTable(spark, SparkSpec.sf0001)
     val schema = mt.schema
