@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions.call_function
 object GraftFunctions {
 
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "vec_dot" -> (es => VecDot(es(0), es(1))))
+    "vec_dot" -> (es => VecDot(es(0), es(1))),
+    "fingerprint_hash" -> (es => expressions.FingerprintHash(es(0))))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -37,10 +38,18 @@ object GraftFunctions {
     * content-addressable doc id `text_fingerprint` declares and
     * `dedup_exact_fingerprint` groups on. ONE definition site so the
     * two queries (and their DuckDB oracles' list_reduce mirror)
-    * cannot drift. The transient per-character array costs ~8–16×
-    * the text size inside the row; a codegen'd string fold (VecDot
-    * pattern) would drop that allocation if a profile ever shows it. */
-  def rollingFingerprint(text: Column): Column = {
+    * cannot drift. Dispatches to the native codegen'd
+    * [[expressions.FingerprintHash]] (one string decode + primitive
+    * fold, vs the HOF form's per-character UTF8String array);
+    * requires a registration path on the session. */
+  def rollingFingerprint(text: Column): Column =
+    call_function("fingerprint_hash", text)
+
+  /** The composable-`functions._` form of [[rollingFingerprint]] —
+    * kept as the executable SPEC of the fold's semantics (the
+    * equivalence spec asserts bit-equality over the corpus and
+    * non-ASCII/empty edge strings). */
+  private[graft] def rollingFingerprintHof(text: Column): Column = {
     import org.apache.spark.sql.functions.{aggregate, ascii, lit, split}
     aggregate(split(text, ""), lit(7L),
       (acc, c) => (acc * lit(31L) + ascii(c)) % lit(1000000007L))
@@ -54,5 +63,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (es: Seq[Expression]) => VecDot(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("fingerprint_hash"),
+      new ExpressionInfo(
+        classOf[expressions.FingerprintHash].getName, "fingerprint_hash"),
+      (es: Seq[Expression]) => expressions.FingerprintHash(es(0))))
   }
 }

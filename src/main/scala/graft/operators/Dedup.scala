@@ -77,6 +77,7 @@ object Dedup {
     // collision into its true groups. Output is therefore exactly
     // dedup_exact's, and the oracle is the same survivor SQL.
     "dedup_exact_fingerprint" -> ((s, d) => {
+      GraftFunctions.ensureRegistered(s)
       val docs = Tables.documents(s, d)
       val fps = docs.select(col("doc_id"), col("n_chars"),
         GraftFunctions.rollingFingerprint(col("text")).as("fp"))

@@ -110,13 +110,15 @@ object TextOps {
     // Deterministic document fingerprint: rolling polynomial hash over
     // the character stream (mod 1e9+7) — content-addressable id usable
     // for exact-dedup at scale without shipping full texts.
-    "text_fingerprint" -> ((s, d) =>
+    "text_fingerprint" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
       Tables.documents(s, d)
         .select(col("doc_id"),
           graft.functions.GraftFunctions.rollingFingerprint(col("text"))
             .as("fp"),
           col("n_chars"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // Training-shard packing: contiguous-fill documents into
     // fixed-token-budget bins (4096 whitespace tokens), partitioned
