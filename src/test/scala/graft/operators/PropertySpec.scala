@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+
+/** Generator-driven properties over the operators whose correctness
+  * rests on an equivalence argument (blocked == naive, native ==
+  * reference) — deterministic seeds, cases batched into single
+  * DataFrame passes so each property costs O(1) Spark jobs.
+  *
+  * The doc_id generator deliberately reaches past 2^53: the blocked
+  * edit-distance chain's block key must be exact integer division
+  * (a double `floor(id / blockSize)` mis-buckets up there — the
+  * round-6 advice finding this property would have caught).
+  */
+class PropertySpec extends SparkSpec {
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  test("property: blocked edit-distance chain == naive window," +
+      " random corpora with huge doc_ids") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val genDoc = for {
+      // half the ids land above 2^53 where double arithmetic is lossy
+      id <- Gen.oneOf(Gen.chooseNum(0L, 1L << 20),
+        Gen.chooseNum((1L << 53) + 1, Long.MaxValue - 1))
+      lang <- Gen.oneOf("en", "de", "zh")
+      text <- Gen.chooseNum(1, 24)
+        .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    } yield (id, lang, text)
+    (1 to 3).foreach { trial =>
+      val docs = sample(Gen.listOfN(60, genDoc), trial.toLong)
+        .distinctBy(_._1)
+        .toDF("doc_id", "lang", "text")
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      val naive = docs
+        .withColumn("next_id", lead("doc_id", 1).over(w))
+        .withColumn("next_text", lead("text", 1).over(w))
+        .filter(col("next_id").isNotNull)
+        .select(col("doc_id"), col("next_id"), col("lang"),
+          levenshtein(col("text"), col("next_text")).as("edit_dist"),
+          (length(col("next_text")) - length(col("text")))
+            .as("len_delta"))
+        .orderBy("doc_id")
+        .collect().map(_.toString).toSeq
+      val blocked = TextOps.editDistanceChain(docs, 4L)
+        .collect().map(_.toString).toSeq
+      assert(blocked == naive,
+        s"trial $trial: blocked chain diverges on random corpus")
+    }
+  }
+
+  test("property: fingerprint fold == BigInt reference on random" +
+      " unicode strings") {
+    // The Long fold assumes acc·31 + codePoint never overflows; the
+    // BigInt reference has no such assumption, so agreement on texts
+    // mixing ASCII, Latin-1, CJK, and supplementary-plane code
+    // points proves the assumption and the code-point stepping.
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val s = spark; import s.implicits._
+    val genPiece: Gen[String] = Gen.frequency(
+      8 -> Gen.alphaNumChar.map(_.toString),
+      1 -> Gen.oneOf("é", "ß", "中", "文", "𝕏", "😀"),
+      1 -> Gen.const(" "))
+    val genText = Gen.chooseNum(0, 40)
+      .flatMap(n => Gen.listOfN(n, genPiece).map(_.mkString))
+    val texts = (1 to 60).map(i => sample(genText, i.toLong))
+    val rows = texts.toDF("text")
+      .select(col("text"),
+        graft.functions.GraftFunctions.rollingFingerprint(col("text"))
+          .as("fp"))
+      .collect()
+    val p = BigInt(1000000007)
+    def ref(t: String): Long =
+      if (t.isEmpty) ((BigInt(7) * 31) mod p).toLong
+      else {
+        var acc = BigInt(7)
+        var i = 0
+        while (i < t.length) {
+          val cp = t.codePointAt(i)
+          acc = (acc * 31 + cp) mod p
+          i += Character.charCount(cp)
+        }
+        acc.toLong
+      }
+    rows.foreach(r => assert(r.getLong(1) == ref(r.getString(0)),
+      s"fold diverges from BigInt reference on '${r.getString(0)}'"))
+  }
+
+  test("property: gridCell bins by exact floor division on random" +
+      " positions") {
+    val s = spark; import s.implicits._
+    val genPos = for {
+      lat <- Gen.chooseNum(-9000, 8999).map(_ / 100.0)
+      lon <- Gen.chooseNum(-18000, 17999).map(_ / 100.0)
+    } yield (lat, lon)
+    val cases = (1 to 100).map(i => sample(genPos, i.toLong))
+    val rows = cases.toDF("lat", "lon")
+      .select(col("lat"), col("lon"),
+        graft.functions.Geo.gridCell(col("lat"), col("lon"), 30.0)
+          .as("cell"))
+      .collect()
+    rows.foreach { r =>
+      val (lat, lon) = (r.getDouble(0), r.getDouble(1))
+      val Array(la, lo) = r.getString(2).split(":").map(_.toLong)
+      assert(la == math.floor(lat / 30.0).toLong
+        && lo == math.floor(lon / 30.0).toLong,
+        s"cell ${r.getString(2)} wrong for ($lat, $lon)")
+    }
+  }
+}
