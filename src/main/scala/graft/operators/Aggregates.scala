@@ -238,7 +238,24 @@ object Aggregates {
         .agg(count(lit(1)).as("n"),
           round(skewness(col("l_quantity")), 4).as("skew"),
           round(kurtosis(col("l_quantity")), 4).as("kurt"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // Fixed-width value histogram over the event stream — the
+    // distribution-profiling op a pipeline runs before choosing
+    // filter thresholds. Bucketing is floor(value/25): one IEEE
+    // double divide + floor, identical bit-for-bit in both engines,
+    // then a single partial+final hash aggregate on the bucket key —
+    // the canonical map-side-combinable shape (bucket cardinality is
+    // ~range/width regardless of row count, so the final stage is
+    // tiny at any scale).
+    "agg_histogram" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(floor(col("value") / 25.0).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("value"), 2).as("total_value"),
+          min("value").as("min_value"),
+          max("value").as("max_value"))
+        .orderBy("bucket"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -379,6 +396,12 @@ object Aggregates {
         |SELECT l_returnflag, n,
         |  round(m3 / pow(m2, 1.5), 4) AS skew,
         |  round(m4 / (m2 * m2) - 3, 4) AS kurt
-        |FROM c ORDER BY l_returnflag""".stripMargin
+        |FROM c ORDER BY l_returnflag""".stripMargin,
+
+    "agg_histogram" ->
+      """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+        |  count(*) AS n, round(sum(value), 2) AS total_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }

@@ -130,6 +130,28 @@ object EventOps {
           .as("r"))
         .select(col("r.stage").as("stage"), col("r.n_users").as("n_users"))
         .orderBy("stage")
+    }),
+
+    // Cohort retention: users grouped by first-activity day, distinct
+    // actives per (cohort, day-offset) — the engagement matrix every
+    // analytics stack computes. Shape: the cohort frame and the join
+    // both hash on user_id (one key, two exchanges — the groupBy's
+    // partitioning feeds the join side directly), then one agg on the
+    // SMALL (cohort_day, offset) key — days², not users. The join is
+    // left UNHINTED: the cohort side is |users|-sized, which is NOT
+    // broadcastable at scale; AQE picks BHJ at test SFs and degrades
+    // to a co-partitioned shuffled join beyond. Integer dates / day
+    // arithmetic only — no float hazard anywhere.
+    "events_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cohorts = ev.groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("cohort_day"))
+      ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .join(cohorts, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_day", "day_offset")
     })
   )
 
@@ -211,6 +233,18 @@ object EventOps {
         |  SELECT '1_view' AS stage, count(*) AS n_users FROM s1
         |  UNION ALL SELECT '2_click', count(*) FROM s2
         |  UNION ALL SELECT '3_purchase', count(*) FROM s3
-        |) f ORDER BY stage""".stripMargin
+        |) f ORDER BY stage""".stripMargin,
+
+    "events_retention" ->
+      """WITH cohorts AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT cohort_day,
+        |  CAST(date_diff('day', cohort_day, CAST(e.ts AS DATE))
+        |    AS INTEGER) AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN cohorts c ON e.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
   )
 }

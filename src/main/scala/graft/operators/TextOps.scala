@@ -182,6 +182,33 @@ object TextOps {
     "text_edit_distance" -> ((s, d) =>
       editDistanceChain(Tables.documents(s, d))),
 
+    // Gopher-style repetition quality signals: per-doc duplicate
+    // n-gram fractions (1 − distinct/total for words, bigrams,
+    // trigrams). Everything is ROW-LOCAL array math — build the gram
+    // arrays with `transform`, count with `array_distinct`/`size` —
+    // so the op is a pure map over the corpus: zero shuffles except
+    // the final presentation sort, perfectly linear at 100 TB. The
+    // oracle reconstructs the same grams relationally (unnest + lead
+    // windows + per-doc aggregation) — an independent formulation of
+    // the same counts. Docs under 3 tokens are gated out (both
+    // sides): they have no trigrams, and 0/0 is engine-divergent
+    // (Spark null vs IEEE NaN).
+    "text_repetition" -> ((s, d) =>
+      repetitionMetrics(Tables.documents(s, d))),
+
+    // Benchmark decontamination: flag training docs sharing any
+    // 5-word shingle with a held-out "benchmark" subset (deterministic
+    // membership: doc_id % 97 == 0 — in a real pipeline this is the
+    // eval-set corpus). Shape at scale: shingle sets are distinct per
+    // doc (bounded by doc length); the benchmark side is SMALL by
+    // construction (eval sets are thousands of docs, not billions) so
+    // the overlap join is an explicit broadcast — the train side
+    // streams through map-side, no shuffle of the corpus. Per-doc
+    // totals reuse the (doc_id, shingle) frame. Docs under 5 tokens
+    // have no shingles and are gated out on both sides.
+    "text_contamination" -> ((s, d) =>
+      contaminationReport(Tables.documents(s, d))),
+
     // Language-ID by marker-token voting: a broadcast profile table of
     // (marker word, lang, weight) joined against exploded tokens,
     // argmax per doc. No-oracle: the heuristic's profile table is
@@ -261,6 +288,63 @@ object TextOps {
         levenshtein(col("text"), col("next_text")).as("edit_dist"),
         (length(col("next_text")) - length(col("text")))
           .as("len_delta"))
+      .orderBy("doc_id")
+  }
+
+  /** text_repetition's body, package-visible so the spec can feed
+    * crafted documents with hand-computable duplicate fractions. */
+  private[operators] def repetitionMetrics(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("bi", expr(
+        "transform(slice(ws, 1, size(ws) - 1)," +
+          " (w, i) -> concat(w, ' ', element_at(ws, i + 2)))"))
+      .withColumn("tri", expr(
+        "transform(slice(ws, 1, size(ws) - 2)," +
+          " (w, i) -> concat(w, ' ', element_at(ws, i + 2)," +
+          " ' ', element_at(ws, i + 3)))"))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_words"),
+        round(lit(1.0) - size(array_distinct(col("ws")))
+          .cast("double") / size(col("ws")), 4).as("dup_word_frac"),
+        round(lit(1.0) - size(array_distinct(col("bi")))
+          .cast("double") / size(col("bi")), 4).as("dup_bigram_frac"),
+        round(lit(1.0) - size(array_distinct(col("tri")))
+          .cast("double") / size(col("tri")), 4).as("dup_trigram_frac"))
+      .orderBy("doc_id")
+
+  /** text_contamination's body (benchmark membership: doc_id %
+    * benchMod == 0), package-visible for fixture-level spec proofs. */
+  private[operators] def contaminationReport(
+      docs: org.apache.spark.sql.DataFrame,
+      benchMod: Int = 97): org.apache.spark.sql.DataFrame = {
+    val sh = docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(ws, 1, size(ws) - 4)," +
+          " (w, i) -> concat_ws(' ', w, element_at(ws, i + 2)," +
+          " element_at(ws, i + 3), element_at(ws, i + 4)," +
+          " element_at(ws, i + 5)))")).as("sh"))
+      .distinct()
+    val bench = sh.filter(col("doc_id") % benchMod === 0)
+      .select(col("sh"), col("doc_id").as("bench_id"))
+    val train = sh.filter(col("doc_id") % benchMod =!= 0)
+    val totals = train.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = train.join(broadcast(bench), "sh")
+      .groupBy("doc_id")
+      .agg(countDistinct("sh").as("n_hit"),
+        countDistinct("bench_id").as("n_bench_docs"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("n_bench_docs"), lit(0L)).as("n_bench_docs"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double")
+          / col("n_shingles"), 4).as("contamination"),
+        (coalesce(col("n_hit"), lit(0L)) > 0).cast("int").as("flagged"))
       .orderBy("doc_id")
   }
 
@@ -391,6 +475,64 @@ object TextOps {
         |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens,
         |  min(doc_id) AS first_doc
         |FROM p GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    // Independent formulation: relational gram streams (unnest + lead
+    // windows) aggregated per doc, vs Spark's row-local array math.
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS w,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+        |), g AS (
+        |  SELECT doc_id, w,
+        |    w || ' ' || lead(w, 1) OVER win AS bi,
+        |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+        |      AS tri
+        |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        |)
+        |SELECT doc_id,
+        |  CAST(count(w) AS INTEGER) AS n_words,
+        |  round(1.0 - count(DISTINCT w) * 1.0 / count(w), 4)
+        |    AS dup_word_frac,
+        |  round(1.0 - count(DISTINCT bi) * 1.0 / count(bi), 4)
+        |    AS dup_bigram_frac,
+        |  round(1.0 - count(DISTINCT tri) * 1.0 / count(tri), 4)
+        |    AS dup_trigram_frac
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS w,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 5
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id,
+        |      w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+        |        || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win
+        |        AS sh
+        |    FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        |  ) t WHERE sh IS NOT NULL
+        |), bench AS (
+        |  SELECT sh, doc_id AS bench_id FROM sh WHERE doc_id % 97 = 0
+        |), train AS (
+        |  SELECT * FROM sh WHERE doc_id % 97 <> 0
+        |), totals AS (
+        |  SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY 1
+        |), hits AS (
+        |  SELECT t.doc_id, count(DISTINCT t.sh) AS n_hit,
+        |    count(DISTINCT b.bench_id) AS n_bench_docs
+        |  FROM train t JOIN bench b USING (sh) GROUP BY 1
+        |)
+        |SELECT totals.doc_id, n_shingles,
+        |  coalesce(n_hit, 0) AS n_hit,
+        |  coalesce(n_bench_docs, 0) AS n_bench_docs,
+        |  round(coalesce(n_hit, 0) * 1.0 / n_shingles, 4) AS contamination,
+        |  CAST(coalesce(n_hit, 0) > 0 AS INTEGER) AS flagged
+        |FROM totals LEFT JOIN hits USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "text_edit_distance" ->
       """SELECT doc_id, next_id, lang,

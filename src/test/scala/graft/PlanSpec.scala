@@ -165,4 +165,33 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"))
     }
   }
+
+  test("text_repetition: a pure map — no shuffle except the final sort") {
+    // All gram math is row-local array work; the only exchange the
+    // plan may contain is the presentation sort's range partitioning.
+    // A hash exchange appearing here means someone rewrote the
+    // row-local form into an aggregation — the 100-TB property lost.
+    val p = plan("text_repetition")
+    assert(shuffleExchanges(p) <= 1)
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"))
+  }
+
+  test("text_contamination: the overlap join broadcasts the bench side") {
+    // The corpus side must stream map-side past the benchmark
+    // shingles (small by construction — eval sets don't scale with
+    // the corpus). The totals-with-hits stitch join is left unhinted.
+    assert(countOf(plan("text_contamination"), "BroadcastHashJoin") >= 1)
+  }
+
+  test("agg_histogram: partial+final split on the bucket key") {
+    assert(countOf(plan("agg_histogram"), "HashAggregate") >= 2)
+  }
+
+  test("events_retention: cohort frame and join share the user_id key") {
+    // 2 hash exchanges on user_id (cohort agg + the event side of the
+    // join), 1 hash on (cohort_day, offset), 1 range (final sort).
+    // A fifth exchange would mean the join stopped reusing the
+    // aggregate's partitioning.
+    assert(shuffleExchanges(plan("events_retention")) <= 4)
+  }
 }

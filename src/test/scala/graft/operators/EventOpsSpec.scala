@@ -100,4 +100,27 @@ class EventOpsSpec extends SparkSpec {
           "cross-engine membership is no longer safe")
     }
   }
+
+  test("events_retention: offset-0 row equals cohort size, offsets bounded") {
+    import org.apache.spark.sql.functions._
+    val ret = EventOps.queries("events_retention")(spark, SparkSpec.sf001)
+      .collect()
+    assert(ret.nonEmpty)
+    // day 0 = the cohort-defining day: every cohort has it, and its
+    // count is the cohort's full population (each user is active on
+    // their own first day by definition)
+    val cohortSizes = graft.Tables.events(spark, SparkSpec.sf001)
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort_day"))
+      .groupBy("cohort_day").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val day0 = ret.filter(_.getInt(1) == 0)
+      .map(r => r.getDate(0).toString -> r.getLong(2)).toMap
+    assert(day0 == cohortSizes)
+    // no negative offsets (an event can't precede its user's first
+    // day), and no offset row exceeds its cohort's population
+    ret.foreach { r =>
+      assert(r.getInt(1) >= 0)
+      assert(r.getLong(2) <= cohortSizes(r.getDate(0).toString))
+    }
+  }
 }

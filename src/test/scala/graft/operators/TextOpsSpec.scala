@@ -50,4 +50,42 @@ class TextOpsSpec extends SparkSpec {
         s"blockSize=$bs: blocked chain diverges from the naive window")
     }
   }
+
+  test("text_repetition: hand-computed duplicate fractions on crafted docs") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a a b"),           // 3 words/2 distinct; both grams unique
+      (2L, "x y x y x y"),     // 6/2; bigrams 5/2; trigrams 4/2
+      (3L, "p q")              // under 3 tokens -> gated out
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionMetrics(docs).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val r1 = out(0)
+    assert(r1.getInt(1) == 3 && r1.getDouble(2) == 0.3333 &&
+      r1.getDouble(3) == 0.0 && r1.getDouble(4) == 0.0)
+    val r2 = out(1)
+    assert(r2.getInt(1) == 6 && r2.getDouble(2) == 0.6667 &&
+      r2.getDouble(3) == 0.6 && r2.getDouble(4) == 0.5)
+  }
+
+  test("text_contamination: only true 5-gram sharers flag; short docs gate") {
+    val s = spark; import s.implicits._
+    // bench doc 0 (id % 5 == 0); doc 6 embeds one of its 5-grams, doc 7
+    // shares only a 4-gram prefix (NOT a hit), doc 8 is too short.
+    val docs = Seq(
+      (0L, "k1 k2 k3 k4 k5 k6"),
+      (6L, "z1 k2 k3 k4 k5 k6 z2"),
+      (7L, "k1 k2 k3 k4 z9 z8"),
+      (8L, "k1 k2 k3")
+    ).toDF("doc_id", "text")
+    val out = TextOps.contaminationReport(docs, benchMod = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(5))).toMap
+    // doc 6: 3 shingles, one ("k2 k3 k4 k5 k6") in bench doc 0
+    assert(out(6L) == ((3L, 1L, 1L, 1)))
+    // doc 7: 2 shingles, no full 5-gram overlap
+    assert(out(7L) == ((2L, 0L, 0L, 0)))
+    assert(!out.contains(8L)) // no shingles -> not reported
+    assert(!out.contains(0L)) // bench side never self-reports
+  }
 }
