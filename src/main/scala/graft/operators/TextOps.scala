@@ -206,8 +206,14 @@ object TextOps {
     // streams through map-side, no shuffle of the corpus. Per-doc
     // totals reuse the (doc_id, shingle) frame. Docs under 5 tokens
     // have no shingles and are gated out on both sides.
+    // The distinct (doc_id, shingle) frame feeds THREE consumers
+    // (benchmark side, per-doc totals, overlap hits); built un-persisted
+    // it recomputes the split+explode+distinct shuffle per consumer, so
+    // it goes through [[graft.Cache]] like the dedup shingle matrix
+    // (Bench releases the "text." group right after this query).
     "text_contamination" -> ((s, d) =>
-      contaminationReport(Tables.documents(s, d))),
+      contaminationFrom(graft.Cache.cached(s, d, "text.shingles5")(
+        shingles5(Tables.documents(s, d))))),
 
     // Language-ID by marker-token voting: a broadcast profile table of
     // (marker word, lang, weight) joined against exploded tokens,
@@ -315,12 +321,11 @@ object TextOps {
           .cast("double") / size(col("tri")), 4).as("dup_trigram_frac"))
       .orderBy("doc_id")
 
-  /** text_contamination's body (benchmark membership: doc_id %
-    * benchMod == 0), package-visible for fixture-level spec proofs. */
-  private[operators] def contaminationReport(
-      docs: org.apache.spark.sql.DataFrame,
-      benchMod: Int = 97): org.apache.spark.sql.DataFrame = {
-    val sh = docs
+  /** Distinct 5-word shingles per doc — text_contamination's shared
+    * midpoint (docs under 5 tokens contribute nothing). */
+  private[operators] def shingles5(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 5)
       .select(col("doc_id"), explode(expr(
@@ -329,6 +334,18 @@ object TextOps {
           " element_at(ws, i + 3), element_at(ws, i + 4)," +
           " element_at(ws, i + 5)))")).as("sh"))
       .distinct()
+
+  /** text_contamination's body (benchmark membership: doc_id %
+    * benchMod == 0), package-visible for fixture-level spec proofs. */
+  private[operators] def contaminationReport(
+      docs: org.apache.spark.sql.DataFrame,
+      benchMod: Int = 97): org.apache.spark.sql.DataFrame =
+    contaminationFrom(shingles5(docs), benchMod)
+
+  /** The report over an already-built (doc_id, sh) frame. */
+  private[operators] def contaminationFrom(
+      sh: org.apache.spark.sql.DataFrame,
+      benchMod: Int = 97): org.apache.spark.sql.DataFrame = {
     val bench = sh.filter(col("doc_id") % benchMod === 0)
       .select(col("sh"), col("doc_id").as("bench_id"))
     val train = sh.filter(col("doc_id") % benchMod =!= 0)

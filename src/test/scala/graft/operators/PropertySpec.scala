@@ -112,4 +112,50 @@ class PropertySpec extends SparkSpec {
         s"cell ${r.getString(2)} wrong for ($lat, $lon)")
     }
   }
+
+  test("property: repetition metrics == independent Scala counts on" +
+      " random docs") {
+    val s = spark; import s.implicits._
+    val genDoc = for {
+      n <- Gen.chooseNum(3, 40)
+      // tiny vocab forces real duplicate grams
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+    } yield ws.mkString(" ")
+    val docs = (1 to 80).map(i => (i.toLong, sample(genDoc, i.toLong)))
+    val out = TextOps.repetitionMetrics(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    def frac(grams: Seq[String]): Double = {
+      val v = 1.0 - grams.distinct.size.toDouble / grams.size
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ").toSeq
+      val bi = ws.sliding(2).map(_.mkString(" ")).toSeq
+      val tri = ws.sliding(3).map(_.mkString(" ")).toSeq
+      assert(out(id) == ((ws.size, frac(ws), frac(bi), frac(tri))),
+        s"doc $id metrics diverge from the reference counts")
+    }
+  }
+
+  test("property: an exact copy of a benchmark doc is fully" +
+      " contaminated; disjoint-vocab docs never flag") {
+    val s = spark; import s.implicits._
+    val genWords = Gen.listOfN(12, Gen.oneOf("k1", "k2", "k3", "k4"))
+    (1 to 3).foreach { trial =>
+      val benchText = sample(genWords, trial.toLong).mkString(" ")
+      val cleanText = Seq.fill(12)("z9").mkString(" ")
+      val docs = Seq(
+        (0L, benchText),  // bench (0 % 5 == 0)
+        (1L, benchText),  // verbatim copy -> every shingle hits
+        (2L, cleanText)   // disjoint vocab -> zero hits
+      ).toDF("doc_id", "text")
+      val out = TextOps.contaminationReport(docs, benchMod = 5)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getDouble(4), r.getInt(5))).toMap
+      assert(out(1L) == ((1.0, 1)), s"trial $trial: copy not fully flagged")
+      assert(out(2L) == ((0.0, 0)), s"trial $trial: clean doc flagged")
+    }
+  }
 }
