@@ -215,6 +215,56 @@ object TextOps {
       contaminationFrom(graft.Cache.cached(s, d, "text.shingles5")(
         shingles5(Tables.documents(s, d))))),
 
+    // Data-mixing weights: per (lang, source) domain, its token share
+    // of the corpus and the resampling weight that would flatten the
+    // mixture to uniform (weight = target share / actual share) — the
+    // op that turns corpus stats into sampling rates for training-mix
+    // control. One partial+final agg on the domain key; the totals
+    // frame is ONE row, joined back by explicit broadcast. All
+    // divisions are long→double IEEE ops, round 4dp.
+    "pipeline_mixture_weights" -> ((s, d) => {
+      val dom = Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens"))
+      val tot = dom.agg(sum("tokens").as("total_tokens"),
+        count(lit(1)).as("n_domains"))
+      dom.crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n_docs"), col("tokens"),
+          round(col("tokens").cast("double") / col("total_tokens"), 4)
+            .as("share"),
+          round((col("total_tokens").cast("double") / col("n_domains"))
+            / col("tokens"), 4).as("weight"))
+        .orderBy("lang", "source")
+    }),
+
+    // Inverted-index build, scale-bounded: per term, document
+    // frequency over the FULL corpus plus a bounded postings sample
+    // (the 10 lowest doc_ids). The sample comes from a row_number
+    // window — per-term state is capped at 10 rows before any
+    // collect, so no task ever materializes a stop-word's full
+    // postings list (the collect_list-then-slice form would). df agg
+    // and sample window share the term-key partitioning.
+    "text_postings" -> ((s, d) => {
+      val td = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"), col("doc_id"))
+        .distinct()
+      val dfreq = td.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("term").orderBy("doc_id")
+      val sampled = td
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .groupBy("term")
+        .agg(concat_ws(",",
+          transform(sort_array(collect_list(col("doc_id"))),
+            x => x.cast("string"))).as("postings_sample"))
+      dfreq.join(sampled, "term")
+        .select(col("term"), col("df"), col("postings_sample"))
+        .orderBy("term")
+    }),
+
     // Language-ID by marker-token voting: a broadcast profile table of
     // (marker word, lang, weight) joined against exploded tokens,
     // argmax per doc. No-oracle: the heuristic's profile table is
@@ -492,6 +542,43 @@ object TextOps {
         |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens,
         |  min(doc_id) AS first_doc
         |FROM p GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    "pipeline_mixture_weights" ->
+      """WITH dom AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+        |    count(*) AS n_domains
+        |  FROM dom
+        |)
+        |SELECT lang, source, n_docs, tokens,
+        |  round(tokens * 1.0 / total_tokens, 4) AS share,
+        |  round((total_tokens * 1.0 / n_domains) / tokens, 4) AS weight
+        |FROM dom CROSS JOIN tot
+        |ORDER BY lang, source""".stripMargin,
+
+    "text_postings" ->
+      """WITH td AS (
+        |  SELECT DISTINCT unnest(string_split(text, ' ')) AS term,
+        |    doc_id
+        |  FROM documents
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM td GROUP BY 1
+        |), ranked AS (
+        |  SELECT term, doc_id,
+        |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |  FROM td
+        |), sampled AS (
+        |  SELECT term,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |      AS postings_sample
+        |  FROM ranked WHERE rn <= 10 GROUP BY term
+        |)
+        |SELECT term, df, postings_sample
+        |FROM dfreq JOIN sampled USING (term)
+        |ORDER BY term""".stripMargin,
 
     // Independent formulation: relational gram streams (unnest + lead
     // windows) aggregated per doc, vs Spark's row-local array math.

@@ -187,6 +187,26 @@ class PlanSpec extends SparkSpec {
     assert(countOf(plan("agg_histogram"), "HashAggregate") >= 2)
   }
 
+  test("pipeline_mixture_weights: one domain agg + broadcast totals") {
+    // The 1-row totals frame must come back via BroadcastExchange —
+    // a shuffle join against a 1-row side would serialize the domain
+    // frame for nothing.
+    val p = plan("pipeline_mixture_weights")
+    assert(p.contains("BroadcastExchange"))
+    assert(countOf(p, "HashAggregate") >= 2)
+  }
+
+  test("text_postings: sample window caps state before any collect") {
+    // row_number + filter rn<=10 MUST precede the collect_list: the
+    // plan shape proof that no task materializes a full stop-word
+    // postings list. Window and both aggs share the term key.
+    val p = plan("text_postings")
+    assert(p.contains("Window"))
+    assert(p.contains("collect_list"))
+    assert(p.contains("<= 10"), "the rn cap filter vanished — " +
+      "collect_list would see unbounded per-term postings")
+  }
+
   test("events_retention: cohort frame and join share the user_id key") {
     // 2 hash exchanges on user_id (cohort agg + the event side of the
     // join), 1 hash on (cohort_day, offset), 1 range (final sort).
