@@ -250,6 +250,41 @@ object GeoOps {
         .orderBy("user_id", "zone")
     }),
 
+    // Origin→destination voyage flows — the literal "shipping lanes"
+    // aggregate: sessionize each vessel's reports into voyages (the
+    // geo_voyages segmentation), take each voyage's first and last
+    // 30° zone, and count voyages + distinct vessels per (origin,
+    // destination) pair. Everything up to the per-voyage collapse
+    // rides ONE user_id exchange (the voyage window is a
+    // sub-partition; the endpoint frames reuse it); the OD aggregate
+    // is zones² rows at most — tiny at any scale. INTEGER/zone-string
+    // outputs only; a single-point voyage maps to its own diagonal
+    // cell (o = d), which is meaningful (intra-zone movement), not an
+    // artifact.
+    "geo_od_matrix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val voyFrame = Window.partitionBy("user_id", "voyage")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      withPos(Tables.events(s, d))
+        .withColumn("zone", Geo.gridCell(col("lat"), col("lon"), 30.0))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(byUser)))
+        .withColumn("is_new",
+          when(col("gap_us").isNull
+            || col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("voyage", sum("is_new").over(byUser))
+        .withColumn("o_zone", first("zone").over(voyFrame))
+        .withColumn("d_zone", last("zone").over(voyFrame))
+        .groupBy("user_id", "voyage", "o_zone", "d_zone")
+        .agg(count(lit(1)).as("n_points"))
+        .groupBy("o_zone", "d_zone")
+        .agg(count(lit(1)).as("n_voyages"),
+          countDistinct("user_id").as("n_vessels"))
+        .orderBy("o_zone", "d_zone")
+    }),
+
     // Zone ENTRIES — how many times vessels enter each polygon zone
     // (port-call counting): per (zone, vessel) order the reports by
     // (ts, event_id) and count inside-flag rising edges (inside now,
@@ -483,6 +518,41 @@ object GeoOps {
         |  count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY zone""".stripMargin,
+
+    "geo_od_matrix" ->
+      """WITH pos AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(floor(((event_id * 7919 % 18000) / 100.0 - 90.0)
+        |      / 30.0) AS BIGINT) || ':' ||
+        |    CAST(floor(((event_id * 104729 % 36000) / 100.0 - 180.0)
+        |      / 30.0) AS BIGINT) AS zone
+        |  FROM events
+        |), seg AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |      OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0
+        |    END AS is_new
+        |  FROM (SELECT *, lag(epoch_us(ts)) OVER win AS prev_us
+        |        FROM pos WINDOW win AS
+        |          (PARTITION BY user_id ORDER BY ts, event_id)) t
+        |), voy AS (
+        |  SELECT *, sum(is_new) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS voyage
+        |  FROM seg
+        |), ends AS (
+        |  SELECT user_id, voyage,
+        |    first_value(zone) OVER win AS o_zone,
+        |    last_value(zone) OVER win AS d_zone
+        |  FROM voy WINDOW win AS
+        |    (PARTITION BY user_id, voyage ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |), collapsed AS (
+        |  SELECT user_id, voyage, o_zone, d_zone
+        |  FROM ends GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT o_zone, d_zone, count(*) AS n_voyages,
+        |  count(DISTINCT user_id) AS n_vessels
+        |FROM collapsed GROUP BY 1, 2
+        |ORDER BY o_zone, d_zone""".stripMargin,
 
     "geo_voyages" ->
       """WITH pos AS (

@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * Scale notes: explode(words) multiplies rows by ~60 but keeps them
   * narrow; every aggregation is partial+final on (doc|term) keys, so
   * the shape is a classic map-side-combinable wordcount that scales
-  * linearly with corpus size. tf-idf joins term-level df (small,
-  * vocabulary-bound) to doc-level tf via broadcast.
+  * linearly with corpus size. tf-idf joins term-level df (vocabulary-
+  * bound) to doc-level tf unhinted on the term key — planner-chosen
+  * broadcast at fixture sizes, co-partitioned shuffle at scale.
   */
 object TextOps {
 
@@ -47,7 +48,13 @@ object TextOps {
       val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       val df = toks.groupBy("w").agg(countDistinct("doc_id").as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      tf.join(broadcast(df), "w")
+      // The df side is VOCABULARY-sized — sublinear in the corpus but
+      // far past broadcast range at 100 TB (Heaps' law puts a web
+      // corpus's vocabulary in the 10^8 range), so the join is left
+      // unhinted: both sides key on the term, the planner broadcasts
+      // at fixture sizes and degrades to a co-partitioned shuffle
+      // beyond. Only the 1-row corpus count is hint-broadcast.
+      tf.join(df, "w")
         .crossJoin(broadcast(n))
         .filter(col("doc_id") < 50)
         .select(col("doc_id"), col("w").as("term"),

@@ -207,6 +207,14 @@ class PlanSpec extends SparkSpec {
       "collect_list would see unbounded per-term postings")
   }
 
+  test("geo_od_matrix: sessionization, endpoint frames, and collapse" +
+      " ride ONE user exchange") {
+    // 1 hash (user_id — both voyage windows, both endpoint frames,
+    // and the (user, voyage, o, d) collapse are sub-partitions) +
+    // 1 hash (the OD agg's coarser key) + 1 range (final sort)
+    assert(shuffleExchanges(plan("geo_od_matrix")) <= 3)
+  }
+
   test("events_retention: cohort frame and join share the user_id key") {
     // 2 hash exchanges on user_id (cohort agg + the event side of the
     // join), 1 hash on (cohort_day, offset), 1 range (final sort).

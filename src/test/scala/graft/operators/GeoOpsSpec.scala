@@ -276,4 +276,15 @@ class GeoOpsSpec extends SparkSpec {
           "rounding tie — cross-engine round() is no longer safe")
     }
   }
+
+  test("geo_od_matrix: OD cells conserve voyages and bound vessels") {
+    val od = GeoOps.queries("geo_od_matrix")(spark, graft.SparkSpec.sf001)
+      .collect()
+    val voyages = GeoOps.queries("geo_voyages")(spark, graft.SparkSpec.sf001)
+      .count()
+    // every voyage lands in exactly one OD cell
+    assert(od.map(_.getLong(2)).sum == voyages)
+    // a cell's distinct vessels never exceed its voyages
+    od.foreach(r => assert(r.getLong(3) <= r.getLong(2)))
+  }
 }
