@@ -23,6 +23,14 @@ case class FunnelState(t1: Long, t2: Long, t3: Long)
 /** Emitted stage completion. */
 case class FunnelOut(user_id: Long, stage: String, ts: java.sql.Timestamp)
 
+/** Open-voyage state: origin zone, last report micros, last zone,
+  * points so far. */
+case class VoyageState(oZone: String, last: Long, dZone: String, n: Long)
+
+/** Emitted closed voyage with its OD endpoints. */
+case class VoyageOut(user_id: Long, o_zone: String, d_zone: String,
+    n_points: Long)
+
 /** Structured-Streaming twins of the Category-H batch operators
   * (SURVEY.md §2.1.H): the same event-stream semantics expressed over
   * an unbounded source with watermarks.
@@ -142,6 +150,51 @@ object Streams {
                 open = Some(SessionState(t, t, 1, e.value))
               case None =>
                 open = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          open.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** The derived-position 30° zone — graft.operators.GeoOps's
+    * withPos ∘ gridCell in plain Scala (event_id is non-negative, so
+    * Scala % == SQL %; the floor/division sequence is the same IEEE
+    * arithmetic both engines run). */
+  private def zoneOf(eventId: Long): String = {
+    val lat = (eventId * 7919 % 18000) / 100.0 - 90.0
+    val lon = (eventId * 104729 % 36000) / 100.0 - 180.0
+    s"${math.floor(lat / 30.0).toLong}:${math.floor(lon / 30.0).toLong}"
+  }
+
+  /** Streaming twin of geo_od_matrix's per-voyage collapse: voyages
+    * close and emit their (origin zone, destination zone, points) the
+    * moment the >30-min report gap that ends them arrives — the
+    * live shipping-lanes feed (the OD matrix is a downstream
+    * aggregation of this stream). Same state discipline as
+    * [[statefulSessions]]: one open voyage per vessel, O(active keys)
+    * state, the final open voyage stays in state when input ends. */
+  def statefulVoyages(events: Dataset[EventRow]): Dataset[VoyageOut] = {
+    import events.sparkSession.implicits._
+    val gapMicros = 1800L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[VoyageState, VoyageOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EventRow], state: GroupState[VoyageState]) =>
+          val evs = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var open = state.getOption
+          val out = Seq.newBuilder[VoyageOut]
+          evs.foreach { e =>
+            val t = micros(e.ts)
+            val z = zoneOf(e.event_id)
+            open match {
+              case Some(v) if t - v.last <= gapMicros =>
+                open = Some(v.copy(last = t, dZone = z, n = v.n + 1))
+              case Some(v) =>
+                out += VoyageOut(uid, v.oZone, v.dZone, v.n)
+                open = Some(VoyageState(z, t, z, 1))
+              case None =>
+                open = Some(VoyageState(z, t, z, 1))
             }
           }
           open.foreach(state.update)

@@ -107,6 +107,65 @@ class StreamingSpec extends SparkSpec {
     assert(twoBatch == closedBatchSessions)
   }
 
+  /** Batch-truth per-voyage OD rows (user, o_zone, d_zone, n_points),
+    * excluding each vessel's last voyage (still open in stream state
+    * when input ends). Multiset compare — two voyages of one vessel
+    * can legitimately share endpoints and size. */
+  private lazy val closedBatchVoyages: Seq[String] = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val voyFrame = Window.partitionBy("user_id", "voyage")
+      .orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ev = graft.Tables.events(spark, SparkSpec.sf0001)
+      .withColumn("lat", (col("event_id") * 7919 % 18000) / 100.0 - 90.0)
+      .withColumn("lon", (col("event_id") * 104729 % 36000) / 100.0 - 180.0)
+      .withColumn("zone",
+        graft.functions.Geo.gridCell(col("lat"), col("lon"), 30.0))
+      .withColumn("gap_us", unix_micros(col("ts"))
+        - unix_micros(lag("ts", 1).over(byUser)))
+      .withColumn("is_new", when(col("gap_us").isNull
+        || col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("voyage", sum("is_new").over(byUser))
+      .withColumn("o_zone", first("zone").over(voyFrame))
+      .withColumn("d_zone", last("zone").over(voyFrame))
+      .groupBy("user_id", "voyage", "o_zone", "d_zone")
+      .agg(count(lit(1)).as("n_points"))
+    val lastVoyage = ev.groupBy("user_id")
+      .agg(max("voyage").as("voyage"))
+    ev.join(lastVoyage, Seq("user_id", "voyage"), "left_anti")
+      .select("user_id", "o_zone", "d_zone", "n_points")
+      .collect().map(_.mkString("|")).toSeq.sorted
+  }
+
+  test("stateful voyages: closed-voyage OD stream == batch collapse," +
+      " across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // single batch
+    val ms = MemoryStream[Ev]
+    ms.addData(batchEvents)
+    val q = Streams.statefulVoyages(ms.toDF().as[EventRow]).writeStream
+      .format("memory").queryName("t_voyages").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val oneBatch = spark.table("t_voyages")
+      .collect().map(_.mkString("|")).toSeq.sorted
+    assert(oneBatch.nonEmpty && oneBatch == closedBatchVoyages)
+    // split mid-stream: open voyages must survive in state
+    val (b1, b2) = batchEvents.splitAt(batchEvents.length / 2)
+    val ms2 = MemoryStream[Ev]
+    val q2 = Streams.statefulVoyages(ms2.toDF().as[EventRow]).writeStream
+      .format("memory").queryName("t_voyages2").outputMode("append").start()
+    try {
+      ms2.addData(b1); q2.processAllAvailable()
+      ms2.addData(b2); q2.processAllAvailable()
+    } finally q2.stop()
+    val twoBatch = spark.table("t_voyages2")
+      .collect().map(_.mkString("|")).toSeq.sorted
+    assert(twoBatch == closedBatchVoyages)
+  }
+
   test("stateful funnel: stage completions == batch funnel, across batches") {
     val s = spark
     import s.implicits._
