@@ -240,6 +240,23 @@ object Aggregates {
           round(kurtosis(col("l_quantity")), 4).as("kurt"))
         .orderBy("l_returnflag")),
 
+    // The reshape pair to agg_pivot: melt the wide per-user type
+    // counts back to long (user_id, event_type, n) rows with the
+    // native `Dataset.unpivot` (SQL UNPIVOT/stack) — wide→long is its
+    // own operator surface, not a pivot re-run. Row-local reshaping:
+    // the only exchanges are the pivot's own agg and the final sort.
+    "agg_unpivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0)
+      wide.unpivot(Array(col("user_id")), types.map(col).toArray,
+          "event_type", "n")
+        .orderBy("user_id", "event_type")
+    }),
+
     // Fixed-width value histogram over the event stream — the
     // distribution-profiling op a pipeline runs before choosing
     // filter thresholds. Bucketing is floor(value/25): one IEEE
@@ -397,6 +414,27 @@ object Aggregates {
         |  round(m3 / pow(m2, 1.5), 4) AS skew,
         |  round(m4 / (m2 * m2) - 3, 4) AS kurt
         |FROM c ORDER BY l_returnflag""".stripMargin,
+
+    // Long-form twin via conditional aggregation + UNION ALL melt —
+    // the portable spelling of UNPIVOT.
+    "agg_unpivot" ->
+      """WITH wide AS (
+        |  SELECT user_id,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |    count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |      AS purchase,
+        |    count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT user_id, event_type, n FROM (
+        |  SELECT user_id, 'click' AS event_type, click AS n FROM wide
+        |  UNION ALL SELECT user_id, 'error', error FROM wide
+        |  UNION ALL SELECT user_id, 'purchase', purchase FROM wide
+        |  UNION ALL SELECT user_id, 'signup', signup FROM wide
+        |  UNION ALL SELECT user_id, 'view', view FROM wide
+        |) t ORDER BY user_id, event_type""".stripMargin,
 
     "agg_histogram" ->
       """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
