@@ -45,6 +45,22 @@ object Joins {
           round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spend"))
         .orderBy("c_custkey")),
 
+    // Right outer — the mirrored preserve-side flavor (the planner
+    // may flip it into a left join; the declared semantics are what's
+    // graded): every order keeps its row, unmatched (impossible here
+    // by FK, but the operator's contract) pads the supplier side.
+    // Built as orders ⟖ customer to exercise the RIGHT keyword path
+    // rather than re-alias join_left_outer.
+    "join_right_outer" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"), "right")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum("o_totalprice"), lit(0.0)), 2)
+            .as("total_spend"))
+        .orderBy("c_custkey")),
+
     // Full outer: part usage, padded on both sides.
     "join_full_outer" -> ((s, d) => {
       val usage = Tables.lineitem(s, d)
@@ -273,6 +289,12 @@ object Joins {
         | round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+
+    "join_right_outer" ->
+      """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+        | round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin,
 
     "join_full_outer" ->
       """SELECT coalesce(p_partkey, l_partkey) AS partkey, p_name,
