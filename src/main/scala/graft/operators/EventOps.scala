@@ -132,6 +132,41 @@ object EventOps {
         .orderBy("stage")
     }),
 
+    // Robust outlier flagging — events_outliers' MAD twin: flag
+    // events whose |value − median| exceeds 3× the user's median
+    // absolute deviation. Mean/stddev break down when the outliers
+    // themselves inflate the spread (the AIS "one teleport hides the
+    // others" failure); medians don't. Both medians are aggregate-
+    // as-window over the SAME user_id partition — the two Window
+    // nodes share one exchange, exactly the events_outliers shape.
+    //
+    // The entire comparison runs on an INTEGER lattice: values are
+    // 2-dp, so vc2 = 200·value is an exact long, interpolated
+    // medians of even longs are exactly-representable doubles, and
+    // the flag is the integer test 2·dev2 > 3·mad2 — no float
+    // compare anywhere. This is load-bearing, not pedantry: the
+    // sf0.1 fixture contains deviations EXACTLY on the 3×MAD
+    // boundary (a float-formulated filter would make their
+    // membership an engine-dependent ulp coin-flip; the margin-spec
+    // approach that guards events_outliers cannot work when the
+    // margin is legitimately zero). EventOpsSpec pins that boundary
+    // rows exist and are excluded.
+    "events_anomaly_mad" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .withColumn("vc2", (round(col("value") * 100) * 2).cast("long"))
+        .withColumn("med2",
+          expr("percentile(vc2, 0.5)").over(w).cast("long"))
+        .withColumn("dev2", abs(col("vc2") - col("med2")))
+        .withColumn("mad2",
+          expr("percentile(dev2 * 2, 0.5)").over(w).cast("long"))
+        .filter(col("mad2") > 0
+          && col("dev2") * 2 > lit(3) * col("mad2"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          expr("(20000 * dev2) div mad2").as("z_mad_1e4"))
+        .orderBy("event_id")
+    }),
+
     // Cohort retention: users grouped by first-activity day, distinct
     // actives per (cohort, day-offset) — the engagement matrix every
     // analytics stack computes. Shape: the cohort frame and the join
@@ -234,6 +269,22 @@ object EventOps {
         |  UNION ALL SELECT '2_click', count(*) FROM s2
         |  UNION ALL SELECT '3_purchase', count(*) FROM s3
         |) f ORDER BY stage""".stripMargin,
+
+    "events_anomaly_mad" ->
+      """SELECT event_id, user_id, value,
+        |  (20000 * dev2) // mad2 AS z_mad_1e4
+        |FROM (
+        |  SELECT *, CAST(quantile_cont(dev2 * 2, 0.5)
+        |    OVER (PARTITION BY user_id) AS BIGINT) AS mad2
+        |  FROM (
+        |    SELECT *, abs(vc2 - CAST(quantile_cont(vc2, 0.5)
+        |      OVER (PARTITION BY user_id) AS BIGINT)) AS dev2
+        |    FROM (SELECT *, CAST(round(value * 100) * 2 AS BIGINT)
+        |          AS vc2 FROM events) v
+        |  ) a
+        |) b
+        |WHERE mad2 > 0 AND 2 * dev2 > 3 * mad2
+        |ORDER BY event_id""".stripMargin,
 
     "events_retention" ->
       """WITH cohorts AS (

@@ -272,6 +272,33 @@ object TextOps {
         .orderBy("term")
     }),
 
+    // Corpus-health statistic: per-language Zipf fit — least-squares
+    // slope/intercept of ln(frequency) against ln(rank) over the
+    // top-1000 terms, plus the fit correlation. A natural corpus
+    // follows slope ≈ −1; template/boilerplate floods flatten it —
+    // the vocabulary-level quality gate. Scale shape: (lang, term)
+    // counts are the wordcount aggregate; the rank window partitions
+    // by lang and the rk ≤ 1000 cap bounds the fit frame per
+    // language BEFORE the regression aggregate (which reuses the
+    // window's partitioning). Rounds follow the proven agg_corr
+    // pattern: 4dp on the ~unit-scale corr, 2dp on slope/intercept.
+    "text_zipf" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n").desc, col("w"))
+      Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 1000)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_terms"),
+          round(expr("regr_slope(ln(n), ln(rk))"), 2).as("zipf_slope"),
+          round(expr("regr_intercept(ln(n), ln(rk))"), 2)
+            .as("zipf_intercept"),
+          round(expr("corr(ln(n), ln(rk))"), 4).as("fit_corr"))
+        .orderBy("lang")
+    }),
+
     // Language-ID by marker-token voting: a broadcast profile table of
     // (marker word, lang, weight) joined against exploded tokens,
     // argmax per doc. No-oracle: the heuristic's profile table is
@@ -549,6 +576,25 @@ object TextOps {
         |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens,
         |  min(doc_id) AS first_doc
         |FROM p GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    "text_zipf" ->
+      """WITH wc AS (
+        |  SELECT lang, w, count(*) AS n FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS w
+        |    FROM documents
+        |  ) t GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT lang, n,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n DESC, w) AS rk
+        |  FROM wc
+        |)
+        |SELECT lang, count(*) AS n_terms,
+        |  round(regr_slope(ln(n), ln(rk)), 2) AS zipf_slope,
+        |  round(regr_intercept(ln(n), ln(rk)), 2) AS zipf_intercept,
+        |  round(corr(ln(n), ln(rk)), 4) AS fit_corr
+        |FROM ranked WHERE rk <= 1000
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "pipeline_mixture_weights" ->
       """WITH dom AS (

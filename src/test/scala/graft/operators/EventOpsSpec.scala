@@ -101,6 +101,36 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("events_anomaly_mad: exact 3×MAD boundary rows exist and are" +
+      " excluded by integer arithmetic") {
+    // The 2-dp value lattice makes dev == 3·MAD ties EXACT (a margin
+    // pin like the 2σ one is impossible — the margin is legitimately
+    // zero), which is why the query compares 2·dev2 > 3·mad2 in
+    // integers. Pin both halves: boundary rows exist at sf0.1 (the
+    // rewrite is load-bearing), and none of them flags.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("user_id")
+    val lattice = graft.Tables.events(spark, SparkSpec.sf01)
+      .withColumn("vc2", (round(col("value") * 100) * 2).cast("long"))
+      .withColumn("med2",
+        expr("percentile(vc2, 0.5)").over(w).cast("long"))
+      .withColumn("dev2", abs(col("vc2") - col("med2")))
+      .withColumn("mad2",
+        expr("percentile(dev2 * 2, 0.5)").over(w).cast("long"))
+      .filter(col("mad2") > 0)
+    val boundary = lattice
+      .filter(col("dev2") * 2 === lit(3) * col("mad2")).count()
+    info(s"exact 3×MAD boundary rows at sf0.1: $boundary")
+    assert(boundary > 0,
+      "no exact-boundary rows — the integer-lattice rationale is stale")
+    val flaggedBoundary = EventOps.queries("events_anomaly_mad")(
+      spark, SparkSpec.sf01)
+      .join(lattice.filter(col("dev2") * 2 === lit(3) * col("mad2"))
+        .select("event_id"), "event_id").count()
+    assert(flaggedBoundary == 0, "a boundary row leaked into the flags")
+  }
+
   test("events_retention: offset-0 row equals cohort size, offsets bounded") {
     import org.apache.spark.sql.functions._
     val ret = EventOps.queries("events_retention")(spark, SparkSpec.sf001)
