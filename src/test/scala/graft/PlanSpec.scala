@@ -215,6 +215,24 @@ class PlanSpec extends SparkSpec {
     assert(shuffleExchanges(plan("geo_od_matrix")) <= 3)
   }
 
+  test("events_anomaly_mad: both median windows share ONE user exchange") {
+    // 1 hash (user_id — both percentile windows) + 1 range (final
+    // sort); a third exchange means the second window re-shuffled
+    val p = plan("events_anomaly_mad")
+    assert(countOf(p, "Window") >= 2)
+    assert(shuffleExchanges(p) <= 2)
+  }
+
+  test("text_zipf: rank cap precedes the regression aggregate") {
+    // (lang, w) agg + lang window re-shuffle (coarser key) + final
+    // sort = 3; the per-lang regression must reuse the window's
+    // partitioning, and the rk cap must survive in the plan (bounds
+    // the fit frame before the aggregate)
+    val p = plan("text_zipf")
+    assert(shuffleExchanges(p) <= 3)
+    assert(p.contains("<= 1000"))
+  }
+
   test("events_retention: cohort frame and join share the user_id key") {
     // 2 hash exchanges on user_id (cohort agg + the event side of the
     // join), 1 hash on (cohort_day, offset), 1 range (final sort).
