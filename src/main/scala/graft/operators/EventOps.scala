@@ -167,6 +167,31 @@ object EventOps {
         .orderBy("event_id")
     }),
 
+    // Behavior sequence mining: the event-type TRANSITION MATRIX —
+    // per (from, to) pair, how many times type B directly followed
+    // type A in some user's stream, plus the row-normalized
+    // transition probability. One lead window on user_id + one tiny
+    // (types²) aggregate + a types-sized window for the row sums.
+    // The probability is emitted as exact integer parts-per-million
+    // ((1e6·n) div row_total): a rounded n/total float hits the same
+    // HALF_UP-vs-half-even decimal-tie class events_anomaly_mad's z
+    // did — counts with only 2s and 5s in their factorization land
+    // exactly on round-boundary decimals.
+    "events_markov" -> ((s, d) => {
+      val wSeq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wFrom = Window.partitionBy("from_type")
+      Tables.events(s, d)
+        .withColumn("next_type", lead("event_type", 1).over(wSeq))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_total", sum("n").over(wFrom))
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("(1000000 * n) div row_total").as("prob_ppm"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // Cohort retention: users grouped by first-activity day, distinct
     // actives per (cohort, day-offset) — the engagement matrix every
     // analytics stack computes. Shape: the cohort frame and the join
@@ -285,6 +310,22 @@ object EventOps {
         |) b
         |WHERE mad2 > 0 AND 2 * dev2 > 3 * mad2
         |ORDER BY event_id""".stripMargin,
+
+    "events_markov" ->
+      """WITH trans AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |    count(*) AS n
+        |  FROM (
+        |    SELECT event_type, lead(event_type, 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |    FROM events
+        |  ) t WHERE next_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n,
+        |  CAST((1000000 * n) // sum(n) OVER (PARTITION BY from_type)
+        |    AS BIGINT) AS prob_ppm
+        |FROM trans ORDER BY from_type, to_type""".stripMargin,
 
     "events_retention" ->
       """WITH cohorts AS (

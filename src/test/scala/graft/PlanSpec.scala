@@ -233,6 +233,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("<= 1000"))
   }
 
+  test("events_markov: sequence window, pair agg, row-sum window, sort") {
+    // 1 hash (user_id lead window) + 1 hash ((from, to) agg) +
+    // 1 hash (from_type row-sum window — types-sized input) +
+    // 1 range (sort). A fifth would mean the pair agg stopped
+    // feeding the row-sum window directly.
+    assert(shuffleExchanges(plan("events_markov")) <= 4)
+  }
+
   test("events_retention: cohort frame and join share the user_id key") {
     // 2 hash exchanges on user_id (cohort agg + the event side of the
     // join), 1 hash on (cohort_day, offset), 1 range (final sort).

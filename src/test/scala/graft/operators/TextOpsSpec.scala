@@ -68,6 +68,64 @@ class TextOpsSpec extends SparkSpec {
       r2.getDouble(3) == 0.6 && r2.getDouble(4) == 0.5)
   }
 
+  test("no integer-ratio output sits NEAR a 4-dp rounding tie (margin)") {
+    // events_anomaly_mad's z hit a 4-dp tie at sf0.1 whose rational
+    // value (5.09125) is NOT binary-representable: Java's round goes
+    // through the double's shortest decimal repr ("5.09125" →
+    // HALF_UP → up) while DuckDB rounds the scaled binary value
+    // (50912.4999… → down). EXACT binary half-points (denominator a
+    // power of two, e.g. stop ratio 1/32 = 312.5e-4 — the fixtures
+    // contain many) are SAFE: both engines see the same half and
+    // round it away from zero, which the passing oracle proves every
+    // round. So the pin: every raw ratio must be either exactly ON a
+    // tie (dist == 0, representable ⇒ engines agree) or ≥ 1e-9 away
+    // — a regenerated fixture landing a near-tie (the 5.09125 class)
+    // fails HERE, not in the oracle compare. Contingency then: emit
+    // that ratio as exact integer fixed-point (the prob_ppm pattern).
+    import org.apache.spark.sql.functions._
+    Seq(graft.SparkSpec.sf001, graft.SparkSpec.sf01).foreach { sf =>
+      val docs = graft.Tables.documents(spark, sf)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("nw", size(col("ws")).cast("double"))
+      // raw ratios reconstructed here (a rounded value can't reveal
+      // its own tie): stop ratio, avg word length, and the three
+      // dup-gram fractions; 0.25 is a tie-free filler for gram-less
+      // short docs
+      val raw = docs
+        .withColumn("bi", expr(
+          "transform(slice(ws, 1, greatest(size(ws) - 1, 0))," +
+            " (w, i) -> concat(w, ' ', element_at(ws, i + 2)))"))
+        .withColumn("tri", expr(
+          "transform(slice(ws, 1, greatest(size(ws) - 2, 0))," +
+            " (w, i) -> concat(w, ' ', element_at(ws, i + 2)," +
+            " ' ', element_at(ws, i + 3)))"))
+        .select(explode(array(
+          size(expr("filter(ws, w -> w IN ('the','a','of','and','to'))"))
+            .cast("double") / col("nw"),
+          length(regexp_replace(col("text"), " ", "")).cast("double")
+            / col("nw"),
+          lit(1.0) - size(array_distinct(col("ws"))).cast("double")
+            / col("nw"),
+          when(size(col("bi")) > 0, lit(1.0)
+            - size(array_distinct(col("bi"))).cast("double")
+            / size(col("bi"))).otherwise(0.25),
+          when(size(col("tri")) > 0, lit(1.0)
+            - size(array_distinct(col("tri"))).cast("double")
+            / size(col("tri"))).otherwise(0.25))).as("r"))
+      val contam = TextOps.contaminationReport(
+        graft.Tables.documents(spark, sf))
+        .select((col("n_hit").cast("double") / col("n_shingles")).as("r"))
+      val margin = raw.unionByName(contam)
+        .select(abs(expr("(r * 10000) % 1") - 0.5).as("dist"))
+        .filter(col("dist") =!= 0.0) // exact halves are representable ⇒ safe
+        .agg(min("dist")).head.getDouble(0)
+      info(f"min nonzero distance to a 4-dp tie at $sf: $margin%.3e")
+      assert(margin > 1e-9,
+        f"a ratio sits $margin%.3e off a 4-dp tie (the 5.09125 " +
+          "class) — cross-engine round() is no longer safe for it")
+    }
+  }
+
   test("text_contamination: only true 5-gram sharers flag; short docs gate") {
     val s = spark; import s.implicits._
     // bench doc 0 (id % 5 == 0); doc 6 embeds one of its 5-grams, doc 7
