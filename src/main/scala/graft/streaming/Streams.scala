@@ -31,6 +31,12 @@ case class VoyageState(oZone: String, last: Long, dZone: String, n: Long)
 case class VoyageOut(user_id: Long, o_zone: String, d_zone: String,
     n_points: Long)
 
+/** Last-seen event type per user (transition-pair state). */
+case class TransitionState(lastType: String)
+
+/** Emitted transition pair. */
+case class TransitionOut(user_id: Long, from_type: String, to_type: String)
+
 /** Structured-Streaming twins of the Category-H batch operators
   * (SURVEY.md §2.1.H): the same event-stream semantics expressed over
   * an unbounded source with watermarks.
@@ -198,6 +204,32 @@ object Streams {
             }
           }
           open.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming twin of events_markov's pair stream: each event emits
+    * the (previous type → this type) transition for its user the
+    * moment it arrives; the batch transition MATRIX is the tiny
+    * (from, to) aggregation of this stream. State per key is ONE
+    * string — the lightest possible flatMapGroupsWithState op, and
+    * the live form of sequence mining (a downstream windowed agg
+    * gives per-hour transition matrices for drift detection). */
+  def statefulTransitions(events: Dataset[EventRow]): Dataset[TransitionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransitionState, TransitionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EventRow],
+            state: GroupState[TransitionState]) =>
+          val evs = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var last = state.getOption.map(_.lastType)
+          val out = Seq.newBuilder[TransitionOut]
+          evs.foreach { e =>
+            last.foreach(l => out += TransitionOut(uid, l, e.event_type))
+            last = Some(e.event_type)
+          }
+          last.foreach(l => state.update(TransitionState(l)))
           out.result().iterator
       }
   }

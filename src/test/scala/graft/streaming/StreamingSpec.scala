@@ -166,6 +166,33 @@ class StreamingSpec extends SparkSpec {
     assert(twoBatch == closedBatchVoyages)
   }
 
+  test("stateful transitions: pair stream aggregates to the batch" +
+      " markov matrix, across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // batch truth: the counts half of events_markov (probabilities
+    // are a deterministic projection of the counts)
+    val batchMatrix = graft.operators.EventOps.queries("events_markov")(
+      spark, SparkSpec.sf0001)
+      .select("from_type", "to_type", "n")
+      .collect().map(_.mkString("|")).toSeq.sorted
+    val (b1, b2) = batchEvents.splitAt(batchEvents.length / 2)
+    val ms = MemoryStream[Ev]
+    val q = Streams.statefulTransitions(ms.toDF().as[EventRow]).writeStream
+      .format("memory").queryName("t_trans").outputMode("append").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_trans")
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(_.mkString("|")).toSeq.sorted
+    assert(streamed.nonEmpty && streamed == batchMatrix,
+      "streamed transition counts diverge from the batch matrix")
+  }
+
   test("stateful funnel: stage completions == batch funnel, across batches") {
     val s = spark
     import s.implicits._
