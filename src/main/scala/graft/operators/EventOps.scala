@@ -167,6 +167,22 @@ object EventOps {
         .orderBy("event_id")
     }),
 
+    // Inter-arrival gap distribution: per-user report gaps bucketed
+    // into whole minutes (integer-µs lag differences, integer `div`)
+    // — the feed-health profile that justifies the 30-min session
+    // cutoff empirically. One lag window + one partial+final agg on
+    // the (bounded) bucket key; INTEGER end to end.
+    "events_gap_hist" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(expr("gap_us div 60000000").as("gap_min"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("gap_min")
+    }),
+
     // Behavior sequence mining: the event-type TRANSITION MATRIX —
     // per (from, to) pair, how many times type B directly followed
     // type A in some user's stream, plus the row-normalized
@@ -310,6 +326,15 @@ object EventOps {
         |) b
         |WHERE mad2 > 0 AND 2 * dev2 > 3 * mad2
         |ORDER BY event_id""".stripMargin,
+
+    "events_gap_hist" ->
+      """SELECT gap_us // 60000000 AS gap_min, count(*) AS n
+        |FROM (
+        |  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events
+        |) t WHERE gap_us IS NOT NULL
+        |GROUP BY 1 ORDER BY gap_min""".stripMargin,
 
     "events_markov" ->
       """WITH trans AS (

@@ -272,6 +272,49 @@ object TextOps {
         .orderBy("term")
     }),
 
+    // The Gopher/C4-style quality gate as ONE declared composite:
+    // every rule is evaluated per doc (token-count bounds, mean word
+    // length band, stopword floor, repetition ceiling), the keep flag
+    // is their conjunction, and drop_reason names the FIRST failing
+    // rule — the audit trail a curation pipeline ships alongside the
+    // kept corpus. Pure row-local map (one presentation sort). The
+    // float compares are SAFE without rounding: both engines divide
+    // the same exact integers and compare the same literal — it's
+    // only round() that diverges on ties (see TextOpsSpec's margin
+    // pin), so no ratio here is rounded.
+    "pipeline_quality_filter" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("nw", size(col("ws")))
+        .withColumn("tri", expr(
+          "transform(slice(ws, 1, greatest(size(ws) - 2, 0))," +
+            " (w, i) -> concat(w, ' ', element_at(ws, i + 2)," +
+            " ' ', element_at(ws, i + 3)))"))
+        .withColumn("awl", length(regexp_replace(col("text"), " ", ""))
+          .cast("double") / col("nw"))
+        .withColumn("stop_r", size(expr(s"filter(ws, w -> w IN (${
+          stopwords.map("'" + _ + "'").mkString(",")}))"))
+          .cast("double") / col("nw"))
+        .withColumn("rep_r", when(size(col("tri")) > 0,
+          lit(1.0) - size(array_distinct(col("tri"))).cast("double")
+            / size(col("tri"))).otherwise(lit(0.0)))
+        .withColumn("r_short", (col("nw") < 15).cast("int"))
+        .withColumn("r_wlen",
+          (col("awl") < 3.0 || col("awl") > 10.0).cast("int"))
+        .withColumn("r_stop", (col("stop_r") < 0.03).cast("int"))
+        .withColumn("r_rep", (col("rep_r") > 0.3).cast("int"))
+        .withColumn("keep", (col("r_short") + col("r_wlen")
+          + col("r_stop") + col("r_rep") === 0).cast("int"))
+        .withColumn("drop_reason",
+          when(col("r_short") === 1, "too_short")
+            .when(col("r_wlen") === 1, "word_length")
+            .when(col("r_stop") === 1, "low_stopwords")
+            .when(col("r_rep") === 1, "repetitive")
+            .otherwise("kept"))
+        .select("doc_id", "r_short", "r_wlen", "r_stop", "r_rep",
+          "keep", "drop_reason")
+        .orderBy("doc_id")),
+
     // Corpus-health statistic: per-language Zipf fit — least-squares
     // slope/intercept of ln(frequency) against ln(rank) over the
     // top-1000 terms, plus the fit correlation. A natural corpus
@@ -576,6 +619,50 @@ object TextOps {
         |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens,
         |  min(doc_id) AS first_doc
         |FROM p GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    "pipeline_quality_filter" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS nw,
+        |    length(replace(text, ' ', '')) * 1.0
+        |      / len(string_split(text, ' ')) AS awl,
+        |    len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
+        |      / len(string_split(text, ' ')) AS stop_r,
+        |    CASE WHEN n_tri > 0
+        |      THEN 1.0 - n_tri_distinct * 1.0 / n_tri ELSE 0.0
+        |    END AS rep_r
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      count(tri) AS n_tri, count(DISTINCT tri) AS n_tri_distinct
+        |    FROM (
+        |      SELECT doc_id, text,
+        |        w || ' ' || lead(w, 1) OVER win || ' ' ||
+        |          lead(w, 2) OVER win AS tri
+        |      FROM (SELECT doc_id, text,
+        |              unnest(string_split(text, ' ')) AS w,
+        |              generate_subscripts(string_split(text, ' '), 1)
+        |                AS pos
+        |            FROM documents) u
+        |      WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        |    ) g GROUP BY doc_id, text
+        |  ) c
+        |), flags AS (
+        |  SELECT doc_id,
+        |    CAST(nw < 15 AS INTEGER) AS r_short,
+        |    CAST(awl < 3.0 OR awl > 10.0 AS INTEGER) AS r_wlen,
+        |    CAST(stop_r < 0.03 AS INTEGER) AS r_stop,
+        |    CAST(rep_r > 0.3 AS INTEGER) AS r_rep
+        |  FROM base
+        |)
+        |SELECT doc_id, r_short, r_wlen, r_stop, r_rep,
+        |  CAST(r_short + r_wlen + r_stop + r_rep = 0 AS INTEGER) AS keep,
+        |  CASE WHEN r_short = 1 THEN 'too_short'
+        |    WHEN r_wlen = 1 THEN 'word_length'
+        |    WHEN r_stop = 1 THEN 'low_stopwords'
+        |    WHEN r_rep = 1 THEN 'repetitive'
+        |    ELSE 'kept' END AS drop_reason
+        |FROM flags ORDER BY doc_id""".stripMargin,
 
     "text_zipf" ->
       """WITH wc AS (
