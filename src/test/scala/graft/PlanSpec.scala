@@ -233,6 +233,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("<= 1000"))
   }
 
+  test("pipeline_quality_filter: a pure map — no shuffle except the sort") {
+    val p = plan("pipeline_quality_filter")
+    assert(shuffleExchanges(p) <= 1)
+    assert(!p.contains("HashAggregate") && !p.contains("Join"))
+  }
+
+  test("events_gap_hist: lag window + partial+final bucket agg") {
+    // 1 hash (user_id window) + 1 hash (bucket agg) + 1 range (sort)
+    val p = plan("events_gap_hist")
+    assert(shuffleExchanges(p) <= 3)
+    assert(countOf(p, "HashAggregate") >= 2)
+  }
+
   test("events_markov: sequence window, pair agg, row-sum window, sort") {
     // 1 hash (user_id lead window) + 1 hash ((from, to) agg) +
     // 1 hash (from_type row-sum window — types-sized input) +
