@@ -285,6 +285,50 @@ object GeoOps {
         .orderBy("o_zone", "d_zone")
     }),
 
+    // Convoy-clique primitive: TRIANGLE COUNTS over the co-presence
+    // graph — per vessel, how many vessel-triples it belongs to where
+    // all three pairwise met (the structure convoy/fleet detection
+    // clusters on; CC gives reachability, triangles give density).
+    // Scale shape: the textbook degree-ordered orientation — every
+    // edge points low-degree → high-degree (ties by id), making the
+    // graph a DAG with out-degree ≤ √(2m), so the wedge self-join is
+    // Σ outdeg² ≤ m·√(2m) instead of Σ deg² (which a hub vertex
+    // makes quadratic); each triangle then has EXACTLY ONE wedge
+    // apex, so the closing-edge semi-join counts it once, no
+    // dedup/÷3 correction needed. All joins are equi-joins on vertex
+    // ids; everything after the co-presence pair set is integers.
+    "geo_triangles" -> ((s, d) => {
+      val edges = coPresence(withPos(Tables.events(s, d)), 30.0)
+        .select("u1", "u2")
+      val deg = edges
+        .select(explode(array(col("u1"), col("u2"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val withDeg = edges
+        .join(deg.select(col("v").as("u1"), col("deg").as("d1")), "u1")
+        .join(deg.select(col("v").as("u2"), col("deg").as("d2")), "u2")
+      val oriented = withDeg.select(
+        when(col("d1") < col("d2")
+          || (col("d1") === col("d2") && col("u1") < col("u2")),
+          struct(col("u1").as("src"), col("u2").as("dst")))
+          .otherwise(struct(col("u2").as("src"), col("u1").as("dst")))
+          .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val wedges = oriented.alias("e1")
+        .join(oriented.alias("e2"),
+          col("e1.src") === col("e2.src")
+            && col("e1.dst") < col("e2.dst"))
+        .select(col("e1.src").as("apex"),
+          col("e1.dst").as("v"), col("e2.dst").as("w"))
+      wedges
+        .join(edges,
+          col("v") === col("u1") && col("w") === col("u2"), "left_semi")
+        .select(explode(array(col("apex"), col("v"), col("w")))
+          .as("user_id"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_triangles"))
+        .orderBy("user_id")
+    }),
+
     // Zone ENTRIES — how many times vessels enter each polygon zone
     // (port-call counting): per (zone, vessel) order the reports by
     // (ts, event_id) and count inside-flag rising edges (inside now,
@@ -715,6 +759,34 @@ object GeoOps {
         |  count(*) AS n_hops
         |FROM hops WHERE zone IS NOT NULL AND gap_us <= 1800000000
         |GROUP BY 1, 2 ORDER BY user_id, zone""".stripMargin,
+
+    // Independent formulation: canonical (a<b<c) 3-way self-join —
+    // no orientation, each triangle materialized exactly once.
+    "geo_triangles" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(((event_id * 7919 % 18000) / 100.0 - 90.0)
+        |      / 30.0) AS BIGINT) || ':' ||
+        |    CAST(floor(((event_id * 104729 % 36000) / 100.0 - 180.0)
+        |      / 30.0) AS BIGINT) AS zone,
+        |    date_trunc('hour', ts) AS hr
+        |  FROM events
+        |), pairs AS (
+        |  SELECT a.user_id AS u1, b.user_id AS u2
+        |  FROM pos a JOIN pos b
+        |    ON a.zone = b.zone AND a.hr = b.hr AND a.user_id < b.user_id
+        |  GROUP BY 1, 2
+        |), tri AS (
+        |  SELECT e1.u1 AS a, e1.u2 AS b, e3.u2 AS c
+        |  FROM pairs e1
+        |  JOIN pairs e2 ON e2.u1 = e1.u2
+        |  JOIN pairs e3 ON e3.u1 = e1.u1 AND e3.u2 = e2.u2
+        |)
+        |SELECT user_id, count(*) AS n_triangles FROM (
+        |  SELECT a AS user_id FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri
+        |) t GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "geo_co_presence" ->
       """WITH pos AS (

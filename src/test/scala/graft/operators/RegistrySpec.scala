@@ -33,7 +33,7 @@ class RegistrySpec extends SparkSpec {
   // 56398 pair rows, and geo_meeting_streaks one row per pair).
   private def mayBeEmpty(name: String): Boolean =
     name.startsWith("dedup_") || name == "geo_co_presence" ||
-      name == "geo_meeting_streaks"
+      name == "geo_meeting_streaks" || name == "geo_triangles"
 
   // One test per query: runs + identical output across two runs
   // (catches missing total-order ORDER BY without needing DuckDB).
