@@ -233,6 +233,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("<= 1000"))
   }
 
+  test("geo_triangles: every graph join stays an equi-join") {
+    // Degree join, wedge self-join, and closing-edge semi-join all
+    // key on vertex ids — a CartesianProduct or nested-loop node
+    // here means the equi-keys got lost and a hub would go quadratic
+    // in the worst way.
+    val p = plan("geo_triangles")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("pipeline_quality_filter: a pure map — no shuffle except the sort") {
     val p = plan("pipeline_quality_filter")
     assert(shuffleExchanges(p) <= 1)
