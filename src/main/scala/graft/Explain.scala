@@ -17,7 +17,11 @@ object Explain {
       else Seq("scan_filter_pushdown", "scan_projection",
         "join_broadcast", "join_5way", "agg_pricing_summary",
         "similarity_knn", "dedup_minhash", "stream_session",
-        "ann_lsh", "geo_voyages", "text_pack_bins")
+        "ann_lsh", "geo_voyages", "text_pack_bins",
+        // round 4-7 representatives: one per new plan family
+        "dedup_exact_fingerprint", "window_distinct_users",
+        "geo_od_matrix", "text_contamination", "events_anomaly_mad",
+        "events_retention", "geo_triangles", "pipeline_quality_filter")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
