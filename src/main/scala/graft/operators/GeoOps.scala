@@ -297,37 +297,9 @@ object GeoOps {
     // apex, so the closing-edge semi-join counts it once, no
     // dedup/÷3 correction needed. All joins are equi-joins on vertex
     // ids; everything after the co-presence pair set is integers.
-    "geo_triangles" -> ((s, d) => {
-      val edges = coPresence(withPos(Tables.events(s, d)), 30.0)
-        .select("u1", "u2")
-      val deg = edges
-        .select(explode(array(col("u1"), col("u2"))).as("v"))
-        .groupBy("v").agg(count(lit(1)).as("deg"))
-      val withDeg = edges
-        .join(deg.select(col("v").as("u1"), col("deg").as("d1")), "u1")
-        .join(deg.select(col("v").as("u2"), col("deg").as("d2")), "u2")
-      val oriented = withDeg.select(
-        when(col("d1") < col("d2")
-          || (col("d1") === col("d2") && col("u1") < col("u2")),
-          struct(col("u1").as("src"), col("u2").as("dst")))
-          .otherwise(struct(col("u2").as("src"), col("u1").as("dst")))
-          .as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      val wedges = oriented.alias("e1")
-        .join(oriented.alias("e2"),
-          col("e1.src") === col("e2.src")
-            && col("e1.dst") < col("e2.dst"))
-        .select(col("e1.src").as("apex"),
-          col("e1.dst").as("v"), col("e2.dst").as("w"))
-      wedges
-        .join(edges,
-          col("v") === col("u1") && col("w") === col("u2"), "left_semi")
-        .select(explode(array(col("apex"), col("v"), col("w")))
-          .as("user_id"))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_triangles"))
-        .orderBy("user_id")
-    }),
+    "geo_triangles" -> ((s, d) =>
+      triangleCounts(coPresence(withPos(Tables.events(s, d)), 30.0)
+        .select("u1", "u2"))),
 
     // Zone ENTRIES — how many times vessels enter each polygon zone
     // (port-call counting): per (zone, vessel) order the reports by
@@ -482,6 +454,40 @@ object GeoOps {
     * ts) at a given grid size. Split out + package-visible so the
     * hot-cell spec can measure candidate volume at different grid
     * sizes on synthetic dense traffic. */
+  /** Per-vertex triangle counts over a canonical (u1 < u2, distinct)
+    * edge set — geo_triangles' body, package-visible so PropertySpec
+    * can prove the degree-ordered orientation against a brute-force
+    * reference on random graphs. */
+  private[operators] def triangleCounts(edges: DataFrame): DataFrame = {
+    val deg = edges
+      .select(explode(array(col("u1"), col("u2"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("v").as("u1"), col("deg").as("d1")), "u1")
+      .join(deg.select(col("v").as("u2"), col("deg").as("d2")), "u2")
+    val oriented = withDeg.select(
+      when(col("d1") < col("d2")
+        || (col("d1") === col("d2") && col("u1") < col("u2")),
+        struct(col("u1").as("src"), col("u2").as("dst")))
+        .otherwise(struct(col("u2").as("src"), col("u1").as("dst")))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val wedges = oriented.alias("e1")
+      .join(oriented.alias("e2"),
+        col("e1.src") === col("e2.src")
+          && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("apex"),
+        col("e1.dst").as("v"), col("e2.dst").as("w"))
+    wedges
+      .join(edges,
+        col("v") === col("u1") && col("w") === col("u2"), "left_semi")
+      .select(explode(array(col("apex"), col("v"), col("w")))
+        .as("user_id"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy("user_id")
+  }
+
   private[operators] def coPresence(pos: DataFrame,
       cellDeg: Double): DataFrame = {
     val cells = presenceCells(pos, cellDeg)

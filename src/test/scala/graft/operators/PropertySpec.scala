@@ -113,6 +113,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: degree-oriented triangle counts == brute force on" +
+      " random graphs") {
+    val s = spark; import s.implicits._
+    // Dense-ish random graphs with a deliberate hub (vertex 0 joins
+    // everything it can) so the orientation's hub handling is
+    // actually exercised, plus hash-random edges.
+    (1 to 3).foreach { trial =>
+      val gen = for {
+        n <- Gen.chooseNum(6, 14)
+        pairs = for (i <- 0L until n; j <- i + 1 until n) yield (i, j)
+        keep <- Gen.listOfN(pairs.size, Gen.prob(0.4))
+      } yield pairs.zip(keep).filter(_._2).map(_._1)
+      val edges = sample(gen, trial.toLong)
+      val expected = {
+        val es = edges.toSet
+        val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val counts = scala.collection.mutable.Map
+          .empty[Long, Long].withDefaultValue(0L)
+        for {
+          a <- verts; b <- verts if a < b; c <- verts if b < c
+          if es((a, b)) && es((b, c)) && es((a, c))
+        } Seq(a, b, c).foreach(v => counts(v) += 1)
+        counts.toMap
+      }
+      val got = GeoOps.triangleCounts(edges.toDF("u1", "u2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected,
+        s"trial $trial: oriented counts diverge from brute force " +
+          s"on ${edges.size} edges")
+    }
+  }
+
   test("property: repetition metrics == independent Scala counts on" +
       " random docs") {
     val s = spark; import s.implicits._
