@@ -325,13 +325,26 @@ object TextOps {
     // language BEFORE the regression aggregate (which reuses the
     // window's partitioning). Rounds follow the proven agg_corr
     // pattern: 4dp on the ~unit-scale corr, 2dp on slope/intercept.
+    // The top-k is TWO-PHASE so no task ever sorts a whole
+    // language's vocabulary (the low-cardinality-key ceiling the
+    // round-4 verdict flagged in window_distinct_users): terms first
+    // rank within (lang, hash-bucket) sub-partitions and only each
+    // bucket's top-1000 survive — exact, since a language's true
+    // top-1000 term is top-1000 in ANY subset containing it — then
+    // the final per-lang rank sorts ≤ 16·1000 survivors instead of
+    // the vocabulary.
     "text_zipf" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang").orderBy(col("n").desc, col("w"))
+      val W = org.apache.spark.sql.expressions.Window
+      val wBucket = W.partitionBy("lang", "bkt")
+        .orderBy(col("n").desc, col("w"))
+      val wLang = W.partitionBy("lang").orderBy(col("n").desc, col("w"))
       Tables.documents(s, d)
         .select(col("lang"), explode(split(col("text"), " ")).as("w"))
         .groupBy("lang", "w").agg(count(lit(1)).as("n"))
-        .withColumn("rk", row_number().over(w))
+        .withColumn("bkt", pmod(xxhash64(col("w")), lit(16L)))
+        .withColumn("brk", row_number().over(wBucket))
+        .filter(col("brk") <= 1000)
+        .withColumn("rk", row_number().over(wLang))
         .filter(col("rk") <= 1000)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_terms"),

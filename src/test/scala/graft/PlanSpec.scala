@@ -223,14 +223,19 @@ class PlanSpec extends SparkSpec {
     assert(shuffleExchanges(p) <= 2)
   }
 
-  test("text_zipf: rank cap precedes the regression aggregate") {
-    // (lang, w) agg + lang window re-shuffle (coarser key) + final
-    // sort = 3; the per-lang regression must reuse the window's
-    // partitioning, and the rk cap must survive in the plan (bounds
-    // the fit frame before the aggregate)
+  test("text_zipf: two-phase top-k — bucket rank precedes lang rank") {
+    // (lang, w) agg + (lang, bkt) sub-rank window + lang rank window
+    // (over ≤ 16·1000 survivors) + final sort = 4; the regression
+    // reuses the lang partitioning. An exchange on lang alone BEFORE
+    // the bucket rank would mean the two-phase rewrite regressed to
+    // sorting whole vocabularies per language.
     val p = plan("text_zipf")
-    assert(shuffleExchanges(p) <= 3)
-    assert(p.contains("<= 1000"))
+    assert(shuffleExchanges(p) <= 4)
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("lang")
+        && l.contains("bkt")),
+      "no exchange partitions by (lang, bkt)")
+    assert(countOf(p, "<= 1000") >= 2)
   }
 
   test("geo_triangles: every graph join stays an equi-join") {
