@@ -60,6 +60,23 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // Moving MEDIAN — window_moving's robust twin (the AIS position-
+    // smoothing primitive: one teleport report skews a moving mean
+    // for its whole frame, a median shrugs it off). percentile as a
+    // window aggregate over the same 5-row frame; rounding is safe
+    // here by the sharpened tie model: a 5-row frame interpolates
+    // only with denominator 2 (binary-representable ties — both
+    // engines round them identically).
+    "window_median" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          round(expr("percentile(value, 0.5)").over(w), 4)
+            .as("mov_median"))
+        .orderBy("event_id")
+    }),
+
     // RANGE frame over numeric order: trailing 1-hour value total,
     // keyed on epoch seconds (integer — interval RANGE frames differ
     // across dialects, integer frames are portable).
@@ -196,6 +213,13 @@ object Windows {
       """SELECT user_id, event_id,
         | round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "window_median" ->
+      """SELECT user_id, event_id,
+        | round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id
+        |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS mov_median
         |FROM events ORDER BY event_id""".stripMargin,
 
     "window_range_frame" ->
