@@ -147,6 +147,53 @@ object Joins {
         .orderBy("purchase_id")
     }),
 
+    // NEAREST as-of: each purchase -> the click of the same user with
+    // the smallest |time gap|, either direction (the sensor-fusion
+    // flavor: align each reading with the closest reference sample).
+    // ONE union-merge pass computes both candidates — running last
+    // click (backward frame) and first following click (forward
+    // frame) over the SAME sort — then an integer-µs compare picks
+    // the closer; ties go backward, which also absorbs same-ts
+    // clicks (they sort before the purchase, land in the backward
+    // frame at gap 0, and win any tie). Still O(events) per user —
+    // no click×purchase intermediate. The oracle is the independent
+    // join+rank formulation with the tie-break spelled out.
+    "join_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("kind"),
+          col("event_id"),
+          col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("c_us"),
+          lit(null).cast("long").as("purchase_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("kind"),
+          col("event_id"),
+          lit(null).cast("long").as("click_id"),
+          lit(null).cast("long").as("c_us"),
+          col("event_id").as("purchase_id"))
+      val ord = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+      val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      clicks.unionAll(purchases)
+        .withColumn("b_id", last(col("click_id"), ignoreNulls = true).over(wB))
+        .withColumn("b_us", last(col("c_us"), ignoreNulls = true).over(wB))
+        .withColumn("f_id", first(col("click_id"), ignoreNulls = true).over(wF))
+        .withColumn("f_us", first(col("c_us"), ignoreNulls = true).over(wF))
+        .filter(col("kind") === 1)
+        .withColumn("p_us", unix_micros(col("ts")))
+        .withColumn("pick_b",
+          col("f_id").isNull || (col("b_id").isNotNull
+            && (col("p_us") - col("b_us")) <= (col("f_us") - col("p_us"))))
+        .select(col("purchase_id"),
+          when(col("pick_b"), col("b_id")).otherwise(col("f_id"))
+            .as("click_id"),
+          when(col("pick_b"), col("b_us") - col("p_us"))
+            .otherwise(col("f_us") - col("p_us")).as("gap_us"))
+        .orderBy("purchase_id")
+    }),
+
     // Forward as-of: each purchase -> EARLIEST following click (ts >=
     // purchase) of the same user — the mirror of join_asof, same
     // union-merge shape with a forward-looking frame (first instead
@@ -340,6 +387,20 @@ object Joins {
         |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |) t WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+
+    "join_asof_nearest" ->
+      """SELECT purchase_id, click_id, gap_us FROM (
+        |  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |    epoch_us(c.ts) - epoch_us(p.ts) AS gap_us,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
+        |        CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+        |        CASE WHEN c.ts <= p.ts THEN -c.event_id
+        |          ELSE c.event_id END) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id
         |) t WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
 
     "join_asof_forward" ->
