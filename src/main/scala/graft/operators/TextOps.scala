@@ -251,8 +251,14 @@ object TextOps {
     // (the 10 lowest doc_ids). The sample comes from a row_number
     // window — per-term state is capped at 10 rows before any
     // collect, so no task ever materializes a stop-word's full
-    // postings list (the collect_list-then-slice form would). df agg
-    // and sample window share the term-key partitioning.
+    // postings list (the collect_list-then-slice form would); the
+    // planner strengthens this further by compiling rn ≤ 10 into
+    // WindowGroupLimit nodes on BOTH sides of the window exchange
+    // (per-partition top-10 pre-filter before the sort — PlanSpec
+    // pins it). The df agg and the sample branch each re-derive the
+    // distinct (term, doc) frame with their own exchange; the join
+    // of the two term-keyed results is left unhinted (vocabulary-
+    // sized sides — planner broadcasts at fixture scale only).
     "text_postings" -> ((s, d) => {
       val td = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("term"), col("doc_id"))

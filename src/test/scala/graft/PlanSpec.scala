@@ -205,6 +205,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("collect_list"))
     assert(p.contains("<= 10"), "the rn cap filter vanished — " +
       "collect_list would see unbounded per-term postings")
+    // Spark compiles the rank cap into WindowGroupLimit on both
+    // sides of the window exchange: each map task keeps only its
+    // local top-10 per term BEFORE the shuffle, so a stop-word's
+    // postings never even travel. Losing this node is a silent
+    // regression to shuffling full postings lists.
+    assert(countOf(p, "WindowGroupLimit") >= 2,
+      "the rank cap no longer pushes below the window exchange")
   }
 
   test("geo_od_matrix: sessionization, endpoint frames, and collapse" +
