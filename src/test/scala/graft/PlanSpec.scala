@@ -245,6 +245,17 @@ class PlanSpec extends SparkSpec {
     assert(countOf(p, "<= 1000") >= 2)
   }
 
+  test("join_asof_nearest: both directional frames ride ONE user" +
+      " exchange") {
+    // backward (running last) and forward (first following) frames
+    // sort identically, so one hash exchange + the final range sort
+    // is the whole shuffle budget; a join node would mean the merge
+    // regressed to the click×purchase form
+    val p = plan("join_asof_nearest")
+    assert(shuffleExchanges(p) <= 2)
+    assert(!p.contains("Join"), "the as-of merge regressed to a join")
+  }
+
   test("geo_triangles: every graph join stays an equi-join") {
     // Degree join, wedge self-join, and closing-edge semi-join all
     // key on vertex ids — a CartesianProduct or nested-loop node
