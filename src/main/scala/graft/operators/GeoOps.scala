@@ -301,6 +301,18 @@ object GeoOps {
       triangleCounts(coPresence(withPos(Tables.events(s, d)), 30.0)
         .select("u1", "u2"))),
 
+    // The flagship domain output: the 20 busiest inter-zone lanes
+    // (o ≠ d), ranked by voyage count. Same pipeline as
+    // geo_od_matrix; the global top-20 compiles to
+    // TakeOrderedAndProject — per-partition top-k merged on the
+    // driver, never a full sort of the matrix (PlanSpec pins it).
+    "geo_lanes_top" -> ((s, d) => {
+      val od = queries("geo_od_matrix")(s, d)
+      od.filter(col("o_zone") =!= col("d_zone"))
+        .orderBy(col("n_voyages").desc, col("o_zone"), col("d_zone"))
+        .limit(20)
+    }),
+
     // Zone ENTRIES — how many times vessels enter each polygon zone
     // (port-call counting): per (zone, vessel) order the reports by
     // (ts, event_id) and count inside-flag rising edges (inside now,
@@ -793,6 +805,42 @@ object GeoOps {
         |  UNION ALL SELECT b FROM tri
         |  UNION ALL SELECT c FROM tri
         |) t GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "geo_lanes_top" ->
+      """WITH pos AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(floor(((event_id * 7919 % 18000) / 100.0 - 90.0)
+        |      / 30.0) AS BIGINT) || ':' ||
+        |    CAST(floor(((event_id * 104729 % 36000) / 100.0 - 180.0)
+        |      / 30.0) AS BIGINT) AS zone
+        |  FROM events
+        |), seg AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |      OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0
+        |    END AS is_new
+        |  FROM (SELECT *, lag(epoch_us(ts)) OVER win AS prev_us
+        |        FROM pos WINDOW win AS
+        |          (PARTITION BY user_id ORDER BY ts, event_id)) t
+        |), voy AS (
+        |  SELECT *, sum(is_new) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS voyage
+        |  FROM seg
+        |), ends AS (
+        |  SELECT user_id, voyage,
+        |    first_value(zone) OVER win AS o_zone,
+        |    last_value(zone) OVER win AS d_zone
+        |  FROM voy WINDOW win AS
+        |    (PARTITION BY user_id, voyage ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |), collapsed AS (
+        |  SELECT user_id, voyage, o_zone, d_zone
+        |  FROM ends GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT o_zone, d_zone, count(*) AS n_voyages,
+        |  count(DISTINCT user_id) AS n_vessels
+        |FROM collapsed WHERE o_zone <> d_zone
+        |GROUP BY 1, 2
+        |ORDER BY n_voyages DESC, o_zone, d_zone LIMIT 20""".stripMargin,
 
     "geo_co_presence" ->
       """WITH pos AS (

@@ -245,6 +245,10 @@ class PlanSpec extends SparkSpec {
     assert(countOf(p, "<= 1000") >= 2)
   }
 
+  test("geo_lanes_top: the global top-20 never fully sorts the matrix") {
+    assert(plan("geo_lanes_top").contains("TakeOrderedAndProject"))
+  }
+
   test("join_asof_nearest: both directional frames ride ONE user" +
       " exchange") {
     // backward (running last) and forward (first following) frames
