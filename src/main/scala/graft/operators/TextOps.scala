@@ -130,23 +130,15 @@ object TextOps {
     // Training-shard packing: contiguous-fill documents into
     // fixed-token-budget bins (4096 whitespace tokens), partitioned
     // by lang — the op that turns a filtered corpus into
-    // fixed-budget training shards. The running prefix sum is
-    // per-lang (windowed by partition key), so packing scales by
-    // key with ONE exchange; a doc larger than the budget simply
-    // owns its bins (contiguous fill, the standard shard layout).
-    "text_pack_bins" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-      Tables.documents(s, d)
+    // fixed-budget training shards. The running prefix sum is the
+    // TWO-PHASE distributed form (see [[packBins]]) so no task ever
+    // sorts a whole language's corpus; a doc larger than the budget
+    // simply owns its bins (contiguous fill, the standard shard
+    // layout).
+    "text_pack_bins" -> ((s, d) =>
+      packBins(Tables.documents(s, d)
         .withColumn("toks", size(split(col("text"), " ")).cast("long"))
-        .withColumn("prefix", sum("toks").over(w) - col("toks"))
-        .withColumn("bin", floor(col("prefix") / 4096))
-        .groupBy("lang", "bin")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("toks").as("bin_tokens"),
-          min("doc_id").as("first_doc"))
-        .orderBy("lang", "bin")
-    }),
+        .select("lang", "doc_id", "toks"))),
 
     // End-to-end corpus preparation — the LLM-training-data pipeline
     // as ONE declared composite: exact-dedup survivors (min doc_id
@@ -154,28 +146,45 @@ object TextOps {
     // band of text_quality) → contiguous 4096-token shard packing per
     // lang (text_pack_bins' layout over the filtered corpus). Every
     // stage is deterministic integer logic, so the whole pipeline is
-    // oracle-checkable end to end. Shape at scale: one text-group
-    // shuffle (at 100 TB you'd swap in the dedup_exact_fingerprint
-    // narrow-shuffle form), then the pack's single per-lang window
-    // exchange.
+    // oracle-checkable end to end. Shape at scale: the dedup stage is
+    // the dedup_exact_fingerprint narrow-shuffle form — the wide
+    // shuffle carries only (fp, doc_id, lang, toks), never full
+    // texts; full texts re-group only for the tiny fp-collision set
+    // (reached via broadcast joins). Packing is the two-phase
+    // [[packBins]] prefix sum. The oracle stays the straightforward
+    // group-by-text survivor SQL: the fingerprint split is an
+    // execution strategy, not a semantics change.
     "pipeline_corpus_prep" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val surv = Tables.documents(s, d)
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = Tables.documents(s, d)
+        .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+      val fps = docs.select(col("doc_id"), col("lang"), col("toks"),
+        graft.functions.GraftFunctions.rollingFingerprint(col("text"))
+          .as("fp"))
+      val collided = fps.groupBy("fp")
+        .agg(count(lit(1)).as("nfp"))
+        .filter(col("nfp") > 1)
+        .select("fp")
+      val singles = fps
+        .join(broadcast(collided), Seq("fp"), "left_anti")
+        .select("doc_id", "lang", "toks")
+      val collidedIds = fps.join(broadcast(collided), Seq("fp"))
+        .select("doc_id")
+      val verified = docs.join(broadcast(collidedIds), Seq("doc_id"))
         .groupBy("text")
         .agg(min("doc_id").as("doc_id"),
-          min_by(col("lang"), col("doc_id")).as("lang"))
-      val kept = surv
-        .withColumn("toks", size(split(col("text"), " ")).cast("long"))
-        .filter(col("toks") >= 15)
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-      kept
-        .withColumn("prefix", sum("toks").over(w) - col("toks"))
-        .withColumn("bin", floor(col("prefix") / 4096))
-        .groupBy("lang", "bin")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("toks").as("bin_tokens"),
-          min("doc_id").as("first_doc"))
-        .orderBy("lang", "bin")
+          min_by(col("lang"), col("doc_id")).as("lang"),
+          min_by(col("toks"), col("doc_id")).as("toks"))
+        .select("doc_id", "lang", "toks")
+      // The survivor set feeds BOTH packBins references (row prefix +
+      // bucket offsets). Persist it via [[graft.Cache]] — AQE's stage
+      // cache does not collapse the two lineages (verified: two
+      // distinct 481-row ShuffleQueryStages at sf0.01), so without
+      // this the whole dedup subtree executes twice. With it, dedup
+      // runs once and only narrow (doc_id, lang, toks) triples are
+      // ever re-read.
+      packBins(graft.Cache.cached(s, d, "pipeline.corpusKept")(
+        singles.unionByName(verified).filter(col("toks") >= 15)))
     }),
 
     // Edit distance along the per-lang doc_id chain: levenshtein
@@ -387,6 +396,70 @@ object TextOps {
         .orderBy("doc_id")
     })
   )
+
+  /** The shard-packing core shared by text_pack_bins and
+    * pipeline_corpus_prep: exclusive per-lang running token prefix
+    * ordered by doc_id → bin = prefix div budget → per-(lang, bin)
+    * shard stats.
+    *
+    * The prefix sum is TWO-PHASE (the window_distinct_users pattern,
+    * ported verbatim): a single per-lang window would cap parallelism
+    * at the number of languages — one task sorts the dominant
+    * language's whole corpus at 100 TB. Instead (1) an intra-bucket
+    * exclusive running sum partitions by (lang, doc_id-range bucket),
+    * so parallelism scales with data, not languages; (2) per-bucket
+    * token totals (a langs × buckets frame, corpus_size/bucketSize
+    * rows) get an EXCLUSIVE running offset per lang; (3) a broadcast
+    * join adds the offset back. Buckets are doc_id-monotonic
+    * (`doc_id div bucketSize` — integer `div`, exact at any id range,
+    * the editDistanceChain hazard note), so offset + intra-bucket
+    * prefix = the global per-lang prefix, row for row. The offsets
+    * frame shrinks by the bucket factor; pick bucketSize ~ √n at
+    * scale so both the serial offset window and the broadcast stay
+    * ~√n-sized. The bin key is `div` too: floor(prefix / budget)
+    * goes through a double and is exact only below 2^53.
+    *
+    * The bucket totals are derived from the POST-window frame as
+    * max(intra + toks) — the last row's inclusive sum (toks ≥ 0 ⇒
+    * monotone) — not by re-aggregating `kept`. This matters when
+    * `kept` is an expensive lineage (pipeline_corpus_prep's dedup):
+    * both join sides then share the IDENTICAL (lang, bkt) exchange
+    * subtree, so ReuseExchange reads one shuffle instead of
+    * recomputing the upstream twice. A plain sum(toks) re-agg would
+    * let column pruning drop the Window from the offsets branch and
+    * fork the lineage again (observed: 11 exchanges vs 7).
+    *
+    * `kept` needs columns (lang, doc_id, toks); bucketSize is a
+    * parameter so the spec can prove bucketed == naive at several
+    * block factors.
+    */
+  private[operators] def packBins(
+      kept: org.apache.spark.sql.DataFrame,
+      bucketSize: Long = 1024L,
+      budget: Long = 4096L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = kept.withColumn("bkt", expr(s"doc_id div $bucketSize"))
+    val wIntra = Window.partitionBy("lang", "bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOffset = Window.partitionBy("lang").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withIntra = bucketed
+      .withColumn("intra", sum("toks").over(wIntra) - col("toks"))
+    val offsets = withIntra.groupBy("lang", "bkt")
+      .agg(max(col("intra") + col("toks")).as("bkt_total"))
+      .withColumn("offset",
+        coalesce(sum("bkt_total").over(wOffset), lit(0L)))
+      .select("lang", "bkt", "offset")
+    withIntra
+      .join(broadcast(offsets), Seq("lang", "bkt"))
+      .withColumn("prefix", col("offset") + col("intra"))
+      .withColumn("bin", expr(s"prefix div $budget"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("toks").as("bin_tokens"),
+        min("doc_id").as("first_doc"))
+      .orderBy("lang", "bin")
+  }
 
   /** The text_edit_distance pair chain, RANGE-BLOCKED so no single
     * task ever sorts a whole language (the naive `lead` over a
@@ -603,7 +676,7 @@ object TextOps {
         |      AS prefix
         |  FROM t
         |)
-        |SELECT lang, CAST(floor(prefix / 4096) AS BIGINT) AS bin,
+        |SELECT lang, CAST(prefix // 4096 AS BIGINT) AS bin,
         |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens,
         |  min(doc_id) AS first_doc
         |FROM p GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
@@ -634,7 +707,7 @@ object TextOps {
         |      AS prefix
         |  FROM kept
         |)
-        |SELECT lang, CAST(floor(prefix / 4096) AS BIGINT) AS bin,
+        |SELECT lang, CAST(prefix // 4096 AS BIGINT) AS bin,
         |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens,
         |  min(doc_id) AS first_doc
         |FROM p GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,

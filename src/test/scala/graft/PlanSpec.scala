@@ -57,8 +57,24 @@ class PlanSpec extends SparkSpec {
     assert(shuffleExchanges(plan("geo_voyages")) <= 2)
   }
 
-  test("text_pack_bins: one data exchange for the prefix sum") {
-    assert(shuffleExchanges(plan("text_pack_bins")) <= 2)
+  test("text_pack_bins: two-phase prefix — the data-sized window" +
+      " partitions by (lang, bkt)") {
+    // The two-phase rewrite's point (the window_distinct_users
+    // pattern): the corpus-sized running sum must partition by
+    // (lang, doc_id-range bucket) so parallelism scales with data,
+    // not languages; the per-lang window survives only on the tiny
+    // bucket-offsets frame, which re-attaches via broadcast. Budget:
+    // (lang,bkt) window + offsets agg + offsets lang window +
+    // (lang,bin) agg + final range sort = 5.
+    val p = plan("text_pack_bins")
+    assert(shuffleExchanges(p) <= 5)
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("lang")
+        && l.contains("bkt")),
+      "no exchange partitions by (lang, bkt) — the prefix sum " +
+        "regressed to the serial per-lang window")
+    assert(p.contains("BroadcastExchange"),
+      "the bucket offsets no longer re-attach via broadcast")
   }
 
   test("stream_session: both windows share the user_id exchange") {
@@ -105,12 +121,25 @@ class PlanSpec extends SparkSpec {
     assert(shuffleExchanges(plan("geo_speed_flags")) <= 2)
   }
 
-  test("pipeline_corpus_prep: pack agg rides the lang window's" +
-      " partitioning") {
-    // text-group exchange + lang-window exchange + final range sort =
-    // 3; the (lang, bin) aggregate must NOT add a fourth (bin is a
-    // sub-key of the lang partitioning)
-    assert(shuffleExchanges(plan("pipeline_corpus_prep")) <= 3)
+  test("pipeline_corpus_prep: narrow-fingerprint dedup + two-phase pack") {
+    // The dedup stage's contract (the dedup_exact_fingerprint shape):
+    // the corpus-wide dedup shuffle partitions on the FINGERPRINT and
+    // carries only (fp, doc_id, lang, toks) — full texts re-group
+    // only for the tiny fp-collision set, reached via BROADCAST joins
+    // (singles anti-join + collided-id semi-join), never a sort-merge
+    // over texts. Packing adds the (lang, bkt) two-phase exchange.
+    val p = plan("pipeline_corpus_prep")
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("fp#")),
+      "the dedup shuffle no longer keys on the narrow fingerprint")
+    assert(countOf(p, "BroadcastHashJoin") >= 3)
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join appeared — full texts are shuffling")
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("lang")
+        && l.contains("bkt")),
+      "no exchange partitions by (lang, bkt)")
+    assert(shuffleExchanges(p) <= 8)
   }
 
   test("window_distinct_users: the running sum partitions by" +

@@ -22,6 +22,35 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("packBins: two-phase prefix equals the naive per-lang window" +
+      " at several bucket sizes") {
+    // The bucketed (lang, doc_id-range) prefix + broadcast-offset
+    // rewrite must produce EXACTLY the single-window packing — at
+    // bucket sizes small enough that every language spans many
+    // buckets, so the offset reconstruction is actually exercised.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, SparkSpec.sf001)
+      .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+      .select("lang", "doc_id", "toks")
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val naive = docs
+      .withColumn("prefix", sum("toks").over(w) - col("toks"))
+      .withColumn("bin", expr("prefix div 4096"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("toks").as("bin_tokens"),
+        min("doc_id").as("first_doc"))
+      .orderBy("lang", "bin")
+      .collect().map(_.toString).toSeq
+    assert(naive.nonEmpty)
+    Seq(7L, 64L, 1024L).foreach { bs =>
+      val two = TextOps.packBins(docs, bs).collect().map(_.toString).toSeq
+      assert(two == naive,
+        s"bucketSize=$bs: two-phase packing diverges from the naive window")
+    }
+  }
+
   test("text_edit_distance: blocked chain equals the naive per-lang window") {
     // The range-blocked chain (intra-block lead + boundary-join
     // reconstruction) must produce EXACTLY the naive single-window
