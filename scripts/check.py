@@ -98,6 +98,30 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 
+# scalar fields of the bench JSON line — everything that is NOT a
+# per-query timing (the load-evidence fields ride in the line's tail
+# so they survive the driver's front-truncation)
+_NON_QUERY_KEYS = ("value", "sf", "rep2_total",
+                   "load_start", "probe_start", "load_end", "probe_end")
+
+
+def _bench_env(path):
+    """Load-evidence fields from a BENCH_r*.json (loadavg + fixed
+    micro-probe seconds at start/end), from the parsed dict or the
+    stdout tail. Missing fields (pre-r8 rounds) -> absent keys."""
+    import re
+    with open(path) as f:
+        rec = json.load(f)
+    parsed = rec.get("parsed")
+    src = json.dumps(parsed) if isinstance(parsed, dict) else (rec.get("tail") or "")
+    out = {}
+    for k in ("load_start", "probe_start", "load_end", "probe_end"):
+        m = re.search(rf'"{k}":\s*([0-9]+\.[0-9]+)', src)
+        if m:
+            out[k] = float(m.group(1))
+    return out
+
+
 def _bench_queries(path):
     """(rep1, rep2) per-query second dicts from a driver BENCH_r*.json:
     the parsed dict if the driver kept one, else re-extracted from the
@@ -118,7 +142,7 @@ def _bench_queries(path):
             # 'filter_complex') — discard it rather than mis-keying
             ms = ms[1:]
         return {m.group(1): float(m.group(2)) for m in ms
-                if m.group(1) not in ("value", "sf", "rep2_total")}
+                if m.group(1) not in _NON_QUERY_KEYS}
     tail = rec.get("tail") or ""
     head, _, rest = tail.partition('"rep2":')
     # anchor at the queries map when the marker survived truncation;
@@ -145,12 +169,29 @@ def bench_history(repo_dir="."):
     prev_p, cur_p = paths[-2], paths[-1]
     prev1, prev2 = _bench_queries(prev_p)
     cur1, cur2 = _bench_queries(cur_p)
+    # Ambient-load normalization: the fixed micro-probe runs identical
+    # work every round, so probe_cur/probe_prev measures the HOST
+    # difference between the two runs (BENCH_r07 read as a 69%
+    # regression that was entirely host load). When the current run
+    # was measurably more loaded, rep1 comparisons are normalized by
+    # the ratio; rep2 (the warm floor) is left as measured.
+    prev_env, cur_env = _bench_env(prev_p), _bench_env(cur_p)
+    probe_ratio = 1.0
+    if prev_env.get("probe_start") and cur_env.get("probe_start"):
+        probe_ratio = max(
+            1.0, cur_env["probe_start"] / prev_env["probe_start"])
+        if probe_ratio > 1.5:
+            print(f"  [loaded-run] micro-probe {probe_ratio:.2f}x slower "
+                  f"than {os.path.basename(prev_p)} (loadavg "
+                  f"{cur_env.get('load_start', -1):.1f} -> "
+                  f"{cur_env.get('load_end', -1):.1f}); rep1 normalized, "
+                  "trust rep2")
     flags = compared = 0
     for name in sorted(set(prev1) | set(prev2)):
         if name in prev2 and name in cur2:
             p, c, kind = prev2[name], cur2[name], "rep2"
         elif name in prev1 and name in cur1:
-            p, c, kind = prev1[name], cur1[name], "rep1"
+            p, c, kind = prev1[name], cur1[name] / probe_ratio, "rep1"
         else:
             continue
         compared += 1

@@ -30,6 +30,29 @@ object Bench {
     "text_contamination" -> Seq("text."),
     "similarity_topk_per_query" -> Seq(""))
 
+  /** 1-minute load average — ambient-load evidence for the artifact.
+    * BENCH_r07 read as a 69% regression until a quiet-box re-run
+    * showed it was host load; these fields let the round diff defend
+    * itself without a re-run. -1 when /proc is unavailable. */
+  private def loadavg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split(" ")(0).toDouble
+      finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
+  /** Median of 3 runs of a FIXED cpu-bound job (2e8-row range sum —
+    * no I/O, no shuffle). Identical work every round, so the ratio
+    * between two rounds' probes measures the host, not the code. */
+  private def microProbe(spark: SparkSession): Double = {
+    val ts = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id % 7)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    ts(1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -45,6 +68,8 @@ object Bench {
     Tables.names.foreach(n =>
       try { Tables.table(spark, sfDir, n).count() }
       catch { case _: Throwable => () })
+    val loadStart = loadavg()
+    val probeStart = microProbe(spark)
 
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
@@ -77,16 +102,22 @@ object Bench {
     }
     Cache.clear(spark)
     val rep2Total = pass2.map(_._2).sum
+    val loadEnd = loadavg()
+    val probeEnd = microProbe(spark)
 
     // 3-dp floats keep the line short, and the headline total goes
     // LAST: harnesses that keep only the tail of a long line still
-    // see it (and a shorter line parses whole more often).
+    // see it (and a shorter line parses whole more often). The load
+    // evidence (loadavg + fixed micro-probe, start/end) sits in the
+    // tail for the same reason — the driver clips the line's FRONT.
     def json(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => f"""\"$k\":$v%.3f""" }
         .mkString("{", ",", "}")
     val total = rep1.map(_._2).sum
     println(s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
       s""""queries":${json(rep1)},"rep2":${json(rep2)},""" +
+      f""""load_start":$loadStart%.3f,"probe_start":$probeStart%.3f,""" +
+      f""""load_end":$loadEnd%.3f,"probe_end":$probeEnd%.3f,""" +
       f""""rep2_total":$rep2Total%.3f,"value":$total%.3f}""")
     spark.stop()
   }
