@@ -317,33 +317,75 @@ object GeoOps {
     // (port-call counting): per (zone, vessel) order the reports by
     // (ts, event_id) and count inside-flag rising edges (inside now,
     // outside or absent before). Composes the integer ray cast with
-    // a lag window; INTEGER outputs. Scale shape: the explode
-    // multiplies rows by the zone count, the window partitions by
-    // (zone, user_id) — parallelism scales with vessels × zones, and
-    // the per-zone agg's clustering is satisfied by the same
-    // exchange (zone ⊆ group keys).
-    "geo_zone_entries" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val pts = Tables.events(s, d)
+    // a lag window; INTEGER outputs. Scale shape: [[zoneEntriesFrom]]
+    // — candidate rows are BBOX HITS, not |zones| × |reports|, and
+    // the window partitions by (zone, user_id).
+    "geo_zone_entries" -> ((s, d) =>
+      zoneEntriesFrom(Tables.events(s, d)
         .withColumn("py", col("event_id") * 7919 % 18000 - 9000)
-        .withColumn("px", col("event_id") * 104729 % 36000 - 18000)
-      val zoneFlags = zonePolygons.map { case (z, verts) =>
-        struct(lit(z).as("zone"), insideExpr(verts).as("inside"))
-      }
-      val w = Window.partitionBy("zone", "user_id").orderBy("ts", "event_id")
-      pts
-        .select(col("user_id"), col("ts"), col("event_id"),
-          explode(array(zoneFlags: _*)).as("zf"))
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("zf.zone").as("zone"), col("zf.inside").as("inside"))
-        .withColumn("prev_in", lag("inside", 1).over(w))
-        .filter(col("inside") && (col("prev_in").isNull || !col("prev_in")))
-        .groupBy("zone")
-        .agg(count(lit(1)).as("n_entries"),
-          countDistinct("user_id").as("n_users"))
-        .orderBy("zone")
-    })
+        .withColumn("px", col("event_id") * 104729 % 36000 - 18000),
+        zonePolygons))
   )
+
+  /** Bbox-prefiltered (point, zone) candidates: one row per report ×
+    * CONTAINING BBOX, with the exact ray-cast flag. The naive form
+    * explodes every report into every zone — row count |reports| ×
+    * |zones|, ruinous at thousands of zones when each point can
+    * plausibly touch only a few. Here each zone's struct is built
+    * under a bbox guard (`when(between…)`) and nulls are dropped
+    * INSIDE the array before the explode, so both the ray-cast
+    * arithmetic and the exploded rows scale with bbox hits. (This is
+    * the first slice of the broadcast-edge-table plan: at thousands
+    * of zones the literal array becomes a broadcast range join on
+    * bbox, same row contract.) `ord` is the report's per-user
+    * sequence number — [[zoneEntriesFrom]] needs it to detect
+    * dropped predecessors. */
+  private[operators] def zoneCandidates(
+      pts: DataFrame,
+      zones: Seq[(String, Seq[(Long, Long)])]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val elems = zones.map { case (z, verts) =>
+      val minx = verts.map(_._1).min
+      val maxx = verts.map(_._1).max
+      val miny = verts.map(_._2).min
+      val maxy = verts.map(_._2).max
+      when(col("px").between(minx, maxx)
+          && col("py").between(miny, maxy),
+        struct(lit(z).as("zone"), insideExpr(verts).as("inside")))
+    }
+    pts
+      .withColumn("ord", row_number().over(wUser))
+      .select(col("user_id"), col("ts"), col("event_id"), col("ord"),
+        explode(filter(array(elems: _*), _.isNotNull)).as("zf"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("ord"),
+        col("zf.zone").as("zone"), col("zf.inside").as("inside"))
+  }
+
+  /** Rising-edge entry counting over [[zoneCandidates]]. The bbox
+    * prefilter drops only OUTSIDE rows, so an entry is: inside now,
+    * and the report's immediate per-user predecessor was null,
+    * outside, or dropped. The dropped case is decided by an `ord`
+    * gap — lag sees the previous RETAINED row; if its ord isn't
+    * ord − 1, the true predecessor missed the bbox and was therefore
+    * outside. Exactly the full-explode semantics (spec-proven
+    * against it), one row per bbox hit. */
+  private[operators] def zoneEntriesFrom(
+      pts: DataFrame,
+      zones: Seq[(String, Seq[(Long, Long)])]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("zone", "user_id").orderBy("ts", "event_id")
+    zoneCandidates(pts, zones)
+      .withColumn("prev_in", lag("inside", 1).over(w))
+      .withColumn("prev_ord", lag("ord", 1).over(w))
+      .filter(col("inside") && (col("prev_in").isNull
+        || col("prev_ord") =!= col("ord") - 1
+        || !col("prev_in")))
+      .groupBy("zone")
+      .agg(count(lit(1)).as("n_entries"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("zone")
+  }
 
   /** Engine-declared zone shapes: (name, vertices) in centi-degrees,
     * (x, y) = (lon·100, lat·100), implicitly closed. One convex quad,
@@ -386,7 +428,7 @@ object GeoOps {
     * shared vertices count once) and the point sits left of the
     * edge at height py — decided integer-exactly by matching the
     * cross-product sign to the edge's y-direction. */
-  private def insideExpr(
+  private[operators] def insideExpr(
       verts: Seq[(Long, Long)]): org.apache.spark.sql.Column = {
     val edges = polyEdges(verts).map { case (x1, y1, x2, y2) =>
       s"named_struct('x1', ${x1}L, 'y1', ${y1}L," +

@@ -166,10 +166,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("geo_zone_entries: entry window partitions by (zone, user)") {
-    // 1 hash ((zone, user_id) window) + 1 hash (per-zone distinct
-    // agg — zone alone is a coarser key than the window's, so this
-    // re-shuffle is expected) + 1 range (final sort)
-    assert(shuffleExchanges(plan("geo_zone_entries")) <= 3)
+    // 1 hash (user_id ordinal window — the bbox prefilter's gap
+    // detector) + 1 hash ((zone, user_id) window) + 1 hash (per-zone
+    // distinct agg — zone alone is a coarser key than the window's,
+    // so this re-shuffle is expected) + 1 range (final sort)
+    assert(shuffleExchanges(plan("geo_zone_entries")) <= 4)
     assert(plan("geo_zone_entries").contains("Window"))
   }
 
