@@ -51,8 +51,9 @@ object Multimodal {
   private val featSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("n_bytes", IntegerType),
-    StructField("mean_byte", DoubleType),
-    StructField("max_byte", DoubleType),
+    StructField("byte_sum", LongType),
+    StructField("mean_b_1e4", LongType),
+    StructField("max_byte", IntegerType),
     StructField("distinct_bytes", IntegerType),
     StructField("n_frames", IntegerType)))
 
@@ -124,8 +125,12 @@ object Multimodal {
 
     // Feature extraction via per-partition batch iteration — the
     // mapPartitions path a real decoder would use (one codec init per
-    // partition, streamed batches, no collect). No-oracle: the codec
-    // stub is engine-internal; MultimodalSpec pins its outputs.
+    // partition, streamed batches, no collect). ORACLE-CHECKED since
+    // r8 by the multimodal_resize ASCII byte==char replay: every
+    // output is INTEGER (mean as 1e-4 fixed point via integer
+    // division — the prob_ppm pattern; a rounded double mean is the
+    // cross-engine HALF_UP tie hazard), so DuckDB reproduces the
+    // extractor with substring arithmetic, bit for bit.
     "multimodal_features" -> ((s, d) => {
       val rdd = mediaTable(s, d)
         .select("doc_id", "payload")
@@ -136,12 +141,14 @@ object Multimodal {
             val bytes = r.getAs[Array[Byte]](1)
             val f = MediaCodec.extractFeatures(bytes)
             val frames = MediaCodec.sampleFrames(bytes, stride = 16)
-            Row(id, f(0).toInt, f(1), f(2), f(3).toInt, frames.length)
+            val byteSum = bytes.map(b => (b & 0xFF).toLong).sum
+            val mean1e4 =
+              if (bytes.isEmpty) 0L else byteSum * 10000L / bytes.length
+            Row(id, f(0).toInt, byteSum, mean1e4, f(2).toInt,
+              f(3).toInt, frames.length)
           }
         }
-      s.createDataFrame(rdd, featSchema)
-        .withColumn("mean_byte", round(col("mean_byte"), 4))
-        .orderBy("doc_id")
+      s.createDataFrame(rdd, featSchema).orderBy("doc_id")
     })
   )
 
@@ -170,6 +177,29 @@ object Multimodal {
         |    i -> ascii(substring(text,
         |      CAST(i * length(text) // 64 AS INTEGER) + 1, 1))))
         |    AS BIGINT) AS byte_sum
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Replays the feature extractor on the ASCII corpus (byte k ==
+    // char k, as proven out by multimodal_resize): per-char ascii
+    // values reproduce sum/max/distinct; the mean is 1e-4 fixed
+    // point via integer division on both engines; frames = every
+    // 16th byte = (n + 15) div 16.
+    "multimodal_features" ->
+      """WITH f AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> ascii(substring(text, CAST(i AS INTEGER), 1))) AS vals
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_bytes,
+        |  CAST(coalesce(list_sum(vals), 0) AS BIGINT) AS byte_sum,
+        |  CAST(CASE WHEN n = 0 THEN 0
+        |    ELSE coalesce(list_sum(vals), 0) * 10000 // n END
+        |    AS BIGINT) AS mean_b_1e4,
+        |  CAST(coalesce(list_max(vals), 0) AS INTEGER) AS max_byte,
+        |  CAST(coalesce(length(list_distinct(vals)), 0) AS INTEGER)
+        |    AS distinct_bytes,
+        |  CAST((n + 15) // 16 AS INTEGER) AS n_frames
+        |FROM f ORDER BY doc_id""".stripMargin
   )
 }

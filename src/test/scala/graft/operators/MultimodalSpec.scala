@@ -42,8 +42,11 @@ class MultimodalSpec extends SparkSpec {
     rows.foreach { r =>
       val nBytes = r.getInt(1)
       assert(nBytes > 0)
-      assert(r.getDouble(2) > 0 && r.getDouble(2) < 256) // mean byte
-      assert(r.getInt(5) == (nBytes + 15) / 16)          // frame count
+      val byteSum = r.getLong(2)
+      // integer fixed-point mean: exact floor division, no rounding
+      assert(r.getLong(3) == byteSum * 10000L / nBytes)
+      assert(r.getLong(3) > 0 && r.getLong(3) < 256L * 10000)
+      assert(r.getInt(6) == (nBytes + 15) / 16)          // frame count
     }
   }
 
