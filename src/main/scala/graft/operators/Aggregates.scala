@@ -264,12 +264,15 @@ object Aggregates {
     // then a single partial+final hash aggregate on the bucket key —
     // the canonical map-side-combinable shape (bucket cardinality is
     // ~range/width regardless of row count, so the final stage is
-    // tiny at any scale).
+    // tiny at any scale). The per-bucket sum is INTEGER CENTS (value
+    // sits on the 0.01 lattice; the prob_ppm fixed-point pattern):
+    // round(sum(double), 2) is order-dependent across partial
+    // aggregation and could land a cross-engine 2-dp tie.
     "agg_histogram" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(floor(col("value") / 25.0).as("bucket"))
         .agg(count(lit(1)).as("n"),
-          round(sum("value"), 2).as("total_value"),
+          sum(round(col("value") * 100).cast("long")).as("total_cents"),
           min("value").as("min_value"),
           max("value").as("max_value"))
         .orderBy("bucket"))
@@ -438,7 +441,9 @@ object Aggregates {
 
     "agg_histogram" ->
       """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
-        |  count(*) AS n, round(sum(value), 2) AS total_value,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
         |  min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
   )

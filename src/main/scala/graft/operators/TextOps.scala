@@ -238,22 +238,12 @@ object TextOps {
     // control. One partial+final agg on the domain key; the totals
     // frame is ONE row, joined back by explicit broadcast. All
     // divisions are long→double IEEE ops, round 4dp.
-    "pipeline_mixture_weights" -> ((s, d) => {
-      val dom = Tables.documents(s, d)
-        .select(col("lang"), col("source"),
-          size(split(col("text"), " ")).cast("long").as("toks"))
-        .groupBy("lang", "source")
-        .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens"))
-      val tot = dom.agg(sum("tokens").as("total_tokens"),
-        count(lit(1)).as("n_domains"))
-      dom.crossJoin(broadcast(tot))
+    "pipeline_mixture_weights" -> ((s, d) =>
+      mixtureFrame(Tables.documents(s, d))
         .select(col("lang"), col("source"), col("n_docs"), col("tokens"),
-          round(col("tokens").cast("double") / col("total_tokens"), 4)
-            .as("share"),
-          round((col("total_tokens").cast("double") / col("n_domains"))
-            / col("tokens"), 4).as("weight"))
-        .orderBy("lang", "source")
-    }),
+          round(col("share_raw"), 4).as("share"),
+          round(col("weight_raw"), 4).as("weight"))
+        .orderBy("lang", "source")),
 
     // Inverted-index build, scale-bounded: per term, document
     // frequency over the FULL corpus plus a bounded postings sample
@@ -348,27 +338,13 @@ object TextOps {
     // top-1000 term is top-1000 in ANY subset containing it — then
     // the final per-lang rank sorts ≤ 16·1000 survivors instead of
     // the vocabulary.
-    "text_zipf" -> ((s, d) => {
-      val W = org.apache.spark.sql.expressions.Window
-      val wBucket = W.partitionBy("lang", "bkt")
-        .orderBy(col("n").desc, col("w"))
-      val wLang = W.partitionBy("lang").orderBy(col("n").desc, col("w"))
-      Tables.documents(s, d)
-        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
-        .groupBy("lang", "w").agg(count(lit(1)).as("n"))
-        .withColumn("bkt", pmod(xxhash64(col("w")), lit(16L)))
-        .withColumn("brk", row_number().over(wBucket))
-        .filter(col("brk") <= 1000)
-        .withColumn("rk", row_number().over(wLang))
-        .filter(col("rk") <= 1000)
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_terms"),
-          round(expr("regr_slope(ln(n), ln(rk))"), 2).as("zipf_slope"),
-          round(expr("regr_intercept(ln(n), ln(rk))"), 2)
-            .as("zipf_intercept"),
-          round(expr("corr(ln(n), ln(rk))"), 4).as("fit_corr"))
-        .orderBy("lang")
-    }),
+    "text_zipf" -> ((s, d) =>
+      zipfFit(Tables.documents(s, d))
+        .select(col("lang"), col("n_terms"),
+          round(col("slope_raw"), 2).as("zipf_slope"),
+          round(col("intercept_raw"), 2).as("zipf_intercept"),
+          round(col("corr_raw"), 4).as("fit_corr"))
+        .orderBy("lang")),
 
     // Language-ID by marker-token voting: a broadcast profile table of
     // (marker word, lang, weight) joined against exploded tokens,
@@ -396,6 +372,53 @@ object TextOps {
         .orderBy("doc_id")
     })
   )
+
+  /** pipeline_mixture_weights' body up to the UNROUNDED ratios
+    * (share_raw = domain tokens / corpus tokens; weight_raw =
+    * uniform-domain tokens / actual tokens, the two-step IEEE
+    * division the query rounds). Split out so TextOpsSpec's 4-dp
+    * tie-margin sweep can reconstruct the exact pre-round doubles —
+    * a rounded value cannot reveal its own tie. */
+  private[operators] def mixtureFrame(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dom = docs
+      .select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens"))
+    val tot = dom.agg(sum("tokens").as("total_tokens"),
+      count(lit(1)).as("n_domains"))
+    dom.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_docs"), col("tokens"),
+        (col("tokens").cast("double") / col("total_tokens"))
+          .as("share_raw"),
+        ((col("total_tokens").cast("double") / col("n_domains"))
+          / col("tokens")).as("weight_raw"))
+  }
+
+  /** text_zipf's body up to the UNROUNDED regression aggregates
+    * (slope/intercept rounded 2dp by the query, corr 4dp). Split out
+    * for the same tie-margin sweep reason as [[mixtureFrame]]. */
+  private[operators] def zipfFit(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wBucket = W.partitionBy("lang", "bkt")
+      .orderBy(col("n").desc, col("w"))
+    val wLang = W.partitionBy("lang").orderBy(col("n").desc, col("w"))
+    docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("n"))
+      .withColumn("bkt", pmod(xxhash64(col("w")), lit(16L)))
+      .withColumn("brk", row_number().over(wBucket))
+      .filter(col("brk") <= 1000)
+      .withColumn("rk", row_number().over(wLang))
+      .filter(col("rk") <= 1000)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_terms"),
+        expr("regr_slope(ln(n), ln(rk))").as("slope_raw"),
+        expr("regr_intercept(ln(n), ln(rk))").as("intercept_raw"),
+        expr("corr(ln(n), ln(rk))").as("corr_raw"))
+  }
 
   /** The shard-packing core shared by text_pack_bins and
     * pipeline_corpus_prep: exclusive per-lang running token prefix

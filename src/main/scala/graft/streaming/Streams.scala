@@ -31,8 +31,9 @@ case class VoyageState(oZone: String, last: Long, dZone: String, n: Long)
 case class VoyageOut(user_id: Long, o_zone: String, d_zone: String,
     n_points: Long)
 
-/** Last-seen event type per user (transition-pair state). */
-case class TransitionState(lastType: String)
+/** Last-seen event type per user (transition-pair state); `last` is
+  * the per-key event-time high-water mark for the late-event guard. */
+case class TransitionState(lastType: String, last: Long)
 
 /** Emitted transition pair. */
 case class TransitionOut(user_id: Long, from_type: String, to_type: String)
@@ -130,6 +131,17 @@ object Streams {
     * per user stays in state (would emit on timeout in production —
     * see the scaladoc note).
     *
+    * LATE EVENTS: a cross-micro-batch straggler (event time before
+    * the key's stored `last`) is DROPPED, the same policy the
+    * engine's watermark applies to late rows before stateful ops.
+    * Without the guard a stale report would extend the open session
+    * and drag `last` backwards, silently diverging from the batch
+    * collapse. Within a micro-batch, sorting handles disorder;
+    * stream == batch parity therefore requires only that batches
+    * arrive per-key non-overlapping in event time (StreamingSpec
+    * proves parity on ordered splits and pins the drop on a
+    * crafted straggler).
+    *
     * At scale: state size is O(active keys), not O(events); keys
     * shard across shuffle partitions.
     */
@@ -147,6 +159,7 @@ object Streams {
           evs.foreach { e =>
             val t = micros(e.ts)
             open match {
+              case Some(s) if t < s.last => () // late straggler: drop
               case Some(s) if t - s.last <= gapMicros =>
                 open = Some(s.copy(last = t, n = s.n + 1,
                   sum = s.sum + e.value))
@@ -179,7 +192,10 @@ object Streams {
     * live shipping-lanes feed (the OD matrix is a downstream
     * aggregation of this stream). Same state discipline as
     * [[statefulSessions]]: one open voyage per vessel, O(active keys)
-    * state, the final open voyage stays in state when input ends. */
+    * state, the final open voyage stays in state when input ends —
+    * and the same LATE-EVENT guard: a straggler behind the vessel's
+    * stored `last` is dropped (it would otherwise overwrite d_zone
+    * with a stale position and extend the voyage). */
   def statefulVoyages(events: Dataset[EventRow]): Dataset[VoyageOut] = {
     import events.sparkSession.implicits._
     val gapMicros = 1800L * 1000000L
@@ -194,6 +210,7 @@ object Streams {
             val t = micros(e.ts)
             val z = zoneOf(e.event_id)
             open match {
+              case Some(v) if t < v.last => () // late straggler: drop
               case Some(v) if t - v.last <= gapMicros =>
                 open = Some(v.copy(last = t, dZone = z, n = v.n + 1))
               case Some(v) =>
@@ -212,9 +229,12 @@ object Streams {
     * the (previous type → this type) transition for its user the
     * moment it arrives; the batch transition MATRIX is the tiny
     * (from, to) aggregation of this stream. State per key is ONE
-    * string — the lightest possible flatMapGroupsWithState op, and
-    * the live form of sequence mining (a downstream windowed agg
-    * gives per-hour transition matrices for drift detection). */
+    * string plus the event-time high-water mark — and the same
+    * LATE-EVENT guard as [[statefulSessions]]: a straggler behind
+    * the stored mark is dropped rather than emitting a transition
+    * pair out of sequence. The live form of sequence mining (a
+    * downstream windowed agg gives per-hour transition matrices for
+    * drift detection). */
   def statefulTransitions(events: Dataset[EventRow]): Dataset[TransitionOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
@@ -223,13 +243,17 @@ object Streams {
         (uid: Long, it: Iterator[EventRow],
             state: GroupState[TransitionState]) =>
           val evs = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          var last = state.getOption.map(_.lastType)
+          var last = state.getOption
           val out = Seq.newBuilder[TransitionOut]
           evs.foreach { e =>
-            last.foreach(l => out += TransitionOut(uid, l, e.event_type))
-            last = Some(e.event_type)
+            val t = micros(e.ts)
+            if (!last.exists(t < _.last)) { // late straggler: drop
+              last.foreach(l => out += TransitionOut(uid, l.lastType,
+                e.event_type))
+              last = Some(TransitionState(e.event_type, t))
+            }
           }
-          last.foreach(l => state.update(TransitionState(l)))
+          last.foreach(state.update)
           out.result().iterator
       }
   }

@@ -22,7 +22,12 @@ class RegistrySpec extends SparkSpec {
     // this check externally; this pins it in CI.)
     val survey = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
-    val missing = SparkEntry.queries.keySet.filterNot(survey.contains)
+    // Match as a backticked table-cell token, not a substring: a key
+    // that is a prefix of another documented key (join_asof vs
+    // join_asof_nearest) must not pass vacuously off the longer
+    // key's row.
+    val missing = SparkEntry.queries.keySet
+      .filterNot(k => survey.contains(s"`$k`"))
     assert(missing.isEmpty, s"keys not documented in SURVEY.md: $missing")
   }
 

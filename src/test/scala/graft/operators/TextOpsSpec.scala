@@ -144,7 +144,20 @@ class TextOpsSpec extends SparkSpec {
       val contam = TextOps.contaminationReport(
         graft.Tables.documents(spark, sf))
         .select((col("n_hit").cast("double") / col("n_shingles")).as("r"))
-      val margin = raw.unionByName(contam)
+      // the round-7 additions' rounded floats, reconstructed raw:
+      // mixture share/weight (4dp) and the zipf regression outputs
+      // (slope/intercept 2dp — folded onto the 4-dp lattice via /100
+      // since (x·100) % 1 == ((x/100)·10⁴) % 1 — corr 4dp; abs()
+      // because HALF_UP ties live on the magnitude)
+      val mix = TextOps.mixtureFrame(graft.Tables.documents(spark, sf))
+        .select(explode(array(col("share_raw"), col("weight_raw")))
+          .as("r"))
+      val zipf = TextOps.zipfFit(graft.Tables.documents(spark, sf))
+        .select(explode(array(abs(col("slope_raw")) / 100,
+          abs(col("intercept_raw")) / 100, abs(col("corr_raw"))))
+          .as("r"))
+      val margin = raw.unionByName(contam).unionByName(mix)
+        .unionByName(zipf)
         .select(abs(expr("(r * 10000) % 1") - 0.5).as("dist"))
         .filter(col("dist") =!= 0.0) // exact halves are representable ⇒ safe
         .agg(min("dist")).head.getDouble(0)

@@ -166,6 +166,52 @@ class StreamingSpec extends SparkSpec {
     assert(twoBatch == closedBatchVoyages)
   }
 
+  test("stateful late-event guard: a cross-batch straggler is dropped," +
+      " not merged into open state") {
+    // The hazard the guard exists for (round-8 review brief): a
+    // straggler arriving in a LATER micro-batch with event time
+    // before the key's stored high-water mark must be ignored. Pre-
+    // guard behavior: its negative gap "extended" the open voyage /
+    // session and dragged last (and d_zone) backwards.
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def ev(id: Long, minute: Int, typ: String) =
+      Ev(id, java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"),
+        1L, typ, 1.0)
+    // batch 1: reports at 10:00, 10:10, 10:20; batch 2: a straggler
+    // at 10:05 plus a 10:25 continuation, then a gap-closer at 12:00
+    val b1 = Seq(ev(1, 0, "view"), ev(2, 10, "view"), ev(3, 20, "view"))
+    val b2 = Seq(ev(4, 5, "click"), ev(5, 25, "view"))
+    val b3 = Seq(ev(6, 120 + 0, "view")) // 12:00 closes the session
+    val msV = MemoryStream[Ev]
+    val qV = Streams.statefulVoyages(msV.toDF().as[EventRow]).writeStream
+      .format("memory").queryName("t_late_voy").outputMode("append").start()
+    try {
+      msV.addData(b1); qV.processAllAvailable()
+      msV.addData(b2); qV.processAllAvailable()
+      msV.addData(b3); qV.processAllAvailable()
+    } finally qV.stop()
+    val voy = spark.table("t_late_voy").collect()
+    // one closed voyage: the 4 RETAINED reports (straggler dropped),
+    // destination zone = the 10:25 report's zone, not the straggler's
+    assert(voy.length == 1)
+    assert(voy(0).getLong(3) == 4, s"straggler was merged: ${voy(0)}")
+    val msT = MemoryStream[Ev]
+    val qT = Streams.statefulTransitions(msT.toDF().as[EventRow]).writeStream
+      .format("memory").queryName("t_late_trans").outputMode("append").start()
+    try {
+      msT.addData(b1); qT.processAllAvailable()
+      msT.addData(b2); qT.processAllAvailable()
+    } finally qT.stop()
+    // pairs over retained events only: v->v, v->v, v->v — the click
+    // straggler emits nothing
+    val trans = spark.table("t_late_trans").collect()
+    assert(trans.length == 3 &&
+      trans.forall(r => r.getString(1) == "view" && r.getString(2) == "view"),
+      s"straggler emitted a transition: ${trans.mkString(";")}")
+  }
+
   test("stateful transitions: pair stream aggregates to the batch" +
       " markov matrix, across batches") {
     val s = spark
