@@ -276,6 +276,25 @@ object Aggregates {
           min("value").as("min_value"),
           max("value").as("max_value"))
         .orderBy("bucket"))
+
+    ,
+    // MODE with a DETERMINISTIC tiebreak (most frequent value; ties →
+    // lexicographically smallest): two partial+final hash aggregates —
+    // per-(group, value) counts, then min_by over the (−n, value)
+    // struct, whose ordering is exactly "max count, then min value".
+    // SQL's ANY-semantics mode() is nondeterministic under ties; the
+    // struct-ordered argmin pins it, which is what makes the op
+    // oracle-checkable at all.
+    "agg_mode" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("o_orderstatus")
+        .agg(min_by(col("o_orderpriority"),
+          struct((-col("n")).as("neg"), col("o_orderpriority")))
+          .as("mode_priority"),
+          max("n").as("n_orders"))
+        .orderBy("o_orderstatus"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -445,6 +464,22 @@ object Aggregates {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |    AS total_cents,
         |  min(value) AS min_value, max(value) AS max_value
-        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // Window formulation of the same deterministic argmin: rank by
+    // (n DESC, value ASC), keep rn = 1.
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |  FROM orders GROUP BY 1, 2
+        |), r AS (
+        |  SELECT o_orderstatus, o_orderpriority, n,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY n DESC, o_orderpriority) AS rn
+        |  FROM c
+        |)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority,
+        |  n AS n_orders
+        |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -313,6 +313,22 @@ object GeoOps {
         .limit(20)
     }),
 
+    // Zone IMPORTANCE over the lane network: PageRank on the OD
+    // matrix (zones = nodes, voyage counts = edge weights), 10 power
+    // iterations, damping 0.85 — "which zones does the traffic
+    // system revolve around", the hub metric a routing/port-capacity
+    // analysis starts from. ALL-INTEGER ppm arithmetic ([[zoneRank]]):
+    // float PageRank sums are order-dependent across partial
+    // aggregation, so cross-engine hashes could never match. The OD
+    // edge frame is built once and persisted ([[graft.Cache]]) — the
+    // 10-iteration lineage would otherwise recompute the whole
+    // sessionization pipeline per iteration.
+    "geo_zone_rank" -> ((s, d) =>
+      zoneRank(graft.Cache.cached(s, d, "geo.rankEdges")(
+        queries("geo_od_matrix")(s, d)
+          .select(col("o_zone"), col("d_zone"),
+            col("n_voyages").as("w"))), iters = 10)),
+
     // Zone ENTRIES — how many times vessels enter each polygon zone
     // (port-call counting): per (zone, vessel) order the reports by
     // (ts, event_id) and count inside-flag rising edges (inside now,
@@ -326,6 +342,40 @@ object GeoOps {
         .withColumn("px", col("event_id") * 104729 % 36000 - 18000),
         zonePolygons))
   )
+
+  /** Integer-exact PageRank over a weighted edge list (o_zone,
+    * d_zone, w): ranks in PARTS PER MILLION, every step integer —
+    * contribution along an edge is (r·w) div out_weight, the damped
+    * update is 150000 + (850000·Σ) div 10⁶. Deterministic under any
+    * summation order (the reason it is oracle-checkable; float
+    * PageRank is not), and bounded: total rank mass stays ≈ n·10⁶,
+    * so 850000·Σ < 10¹⁴ ≪ 2⁶³. Dangling zones (no out-edges) leak
+    * their mass — the standard simplified formulation, identical on
+    * both engines.
+    *
+    * Scale shape: each iteration is one equi-join + one aggregate on
+    * the ZONE-cardinality frame (bounded — thousands at planetary
+    * coverage — while the heavy sessionization feeding it scales
+    * with the corpus and runs once). Callers persist `edges`; the
+    * iteration count is a parameter so the spec can pin convergence
+    * behavior. */
+  private[operators] def zoneRank(edges: DataFrame, iters: Int): DataFrame = {
+    val outW = edges.groupBy("o_zone").agg(sum("w").as("ow"))
+    val e = edges.join(outW, "o_zone")
+    val nodes = edges.select(col("o_zone").as("zone"))
+      .unionByName(edges.select(col("d_zone").as("zone"))).distinct()
+    var r = nodes.select(col("zone"), lit(1000000L).as("r"))
+    (1 to iters).foreach { _ =>
+      val contrib = e.join(r.withColumnRenamed("zone", "o_zone"), "o_zone")
+        .select(col("d_zone").as("zone"), expr("(r * w) div ow").as("c"))
+        .groupBy("zone").agg(sum("c").as("s"))
+      r = nodes.join(contrib, Seq("zone"), "left")
+        .select(col("zone"), (lit(150000L)
+          + expr("(850000 * coalesce(s, 0)) div 1000000")).as("r"))
+    }
+    r.select(col("zone"), col("r").as("rank_ppm"))
+      .orderBy(col("rank_ppm").desc, col("zone"))
+  }
 
   /** Bbox-prefiltered (point, zone) candidates: one row per report ×
     * CONTAINING BBOX, with the exact ray-cast flag. The naive form
@@ -438,6 +488,76 @@ object GeoOps {
       "(e.y1 > py) != (e.y2 > py) AND" +
       " (((e.x2 - e.x1) * (py - e.y1) - (px - e.x1) * (e.y2 - e.y1))" +
       " > 0) = (e.y2 > e.y1), 1, 0)) % 2 = 1")
+  }
+
+  /** The voyage-collapse CTE chain (pos → seg → voy → ends →
+    * collapsed) shared by the geo_od_matrix and geo_zone_rank
+    * oracles — one definition site for the sessionization SQL. */
+  private def odCtesSql: String =
+    """WITH pos AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(floor(((event_id * 7919 % 18000) / 100.0 - 90.0)
+      |      / 30.0) AS BIGINT) || ':' ||
+      |    CAST(floor(((event_id * 104729 % 36000) / 100.0 - 180.0)
+      |      / 30.0) AS BIGINT) AS zone
+      |  FROM events
+      |), seg AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL
+      |      OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0
+      |    END AS is_new
+      |  FROM (SELECT *, lag(epoch_us(ts)) OVER win AS prev_us
+      |        FROM pos WINDOW win AS
+      |          (PARTITION BY user_id ORDER BY ts, event_id)) t
+      |), voy AS (
+      |  SELECT *, sum(is_new) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id) AS voyage
+      |  FROM seg
+      |), ends AS (
+      |  SELECT user_id, voyage,
+      |    first_value(zone) OVER win AS o_zone,
+      |    last_value(zone) OVER win AS d_zone
+      |  FROM voy WINDOW win AS
+      |    (PARTITION BY user_id, voyage ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |), collapsed AS (
+      |  SELECT user_id, voyage, o_zone, d_zone
+      |  FROM ends GROUP BY 1, 2, 3, 4
+      |)""".stripMargin
+
+  /** [[zoneRank]] replayed in SQL: the 10 power iterations UNROLLED
+    * as chained CTEs (pr0 … pr10) — fixed iteration count, so no
+    * recursive CTE is needed and every step is the same integer
+    * (r·w) // ow and 150000 + (850000·Σ) // 10⁶ arithmetic the
+    * engine runs. */
+  private def zoneRankOracle: String = {
+    val iter = (i: Int) =>
+      s""", pr$i AS (
+         |  SELECT n.zone,
+         |    CAST(150000 + (850000 * COALESCE(c.s, 0)) // 1000000
+         |      AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.d_zone AS zone, sum((p.r * e.w) // e.ow) AS s
+         |    FROM e JOIN pr${i - 1} p ON e.o_zone = p.zone
+         |    GROUP BY 1) c ON n.zone = c.zone
+         |)""".stripMargin
+    odCtesSql +
+      """, od AS (
+        |  SELECT o_zone, d_zone, count(*) AS w
+        |  FROM collapsed GROUP BY 1, 2
+        |), outw AS (
+        |  SELECT o_zone, sum(w) AS ow FROM od GROUP BY 1
+        |), e AS (
+        |  SELECT od.o_zone, od.d_zone, od.w, outw.ow
+        |  FROM od JOIN outw USING (o_zone)
+        |), nodes AS (
+        |  SELECT DISTINCT zone FROM (
+        |    SELECT o_zone AS zone FROM od
+        |    UNION ALL SELECT d_zone FROM od) t
+        |), pr0 AS (
+        |  SELECT zone, CAST(1000000 AS BIGINT) AS r FROM nodes
+        |)""".stripMargin +
+      (1 to 10).map(iter).mkString +
+      "\nSELECT zone, r AS rank_ppm FROM pr10 ORDER BY rank_ppm DESC, zone"
   }
 
   /** The polygon edge list as a DuckDB VALUES body, GENERATED from
@@ -623,40 +743,14 @@ object GeoOps {
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY zone""".stripMargin,
 
-    "geo_od_matrix" ->
-      """WITH pos AS (
-        |  SELECT user_id, ts, event_id,
-        |    CAST(floor(((event_id * 7919 % 18000) / 100.0 - 90.0)
-        |      / 30.0) AS BIGINT) || ':' ||
-        |    CAST(floor(((event_id * 104729 % 36000) / 100.0 - 180.0)
-        |      / 30.0) AS BIGINT) AS zone
-        |  FROM events
-        |), seg AS (
-        |  SELECT *, CASE WHEN prev_us IS NULL
-        |      OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0
-        |    END AS is_new
-        |  FROM (SELECT *, lag(epoch_us(ts)) OVER win AS prev_us
-        |        FROM pos WINDOW win AS
-        |          (PARTITION BY user_id ORDER BY ts, event_id)) t
-        |), voy AS (
-        |  SELECT *, sum(is_new) OVER
-        |    (PARTITION BY user_id ORDER BY ts, event_id) AS voyage
-        |  FROM seg
-        |), ends AS (
-        |  SELECT user_id, voyage,
-        |    first_value(zone) OVER win AS o_zone,
-        |    last_value(zone) OVER win AS d_zone
-        |  FROM voy WINDOW win AS
-        |    (PARTITION BY user_id, voyage ORDER BY ts, event_id
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |), collapsed AS (
-        |  SELECT user_id, voyage, o_zone, d_zone
-        |  FROM ends GROUP BY 1, 2, 3, 4
-        |)
+    "geo_od_matrix" -> (odCtesSql +
+      """
         |SELECT o_zone, d_zone, count(*) AS n_voyages,
         |  count(DISTINCT user_id) AS n_vessels
         |FROM collapsed GROUP BY 1, 2
-        |ORDER BY o_zone, d_zone""".stripMargin,
+        |ORDER BY o_zone, d_zone""".stripMargin),
+
+    "geo_zone_rank" -> zoneRankOracle,
 
     "geo_voyages" ->
       """WITH pos AS (

@@ -315,6 +315,34 @@ object Joins {
         .agg(count(lit(1)).as("n_items"),
           round(sum("l_quantity"), 2).as("sum_qty"))
         .orderBy("s_nationkey")
+    }),
+
+    // BANDED range join — the SCALABLE form of the |x − y| ≤ w theta
+    // join (join_theta_range is the tiny-side BNLJ baseline): both
+    // sides bucket by floor(value / w), the probe side explodes into
+    // its bucket ± 1 (any y within w of x lies in one of those three
+    // buckets — the band-coverage lemma), and the join becomes an
+    // EQUI hash join on the bucket key with an exact residual filter.
+    // O(n · occupancy) pairs examined instead of O(n · m); shuffles
+    // partition on the bucket, so parallelism scales with the value
+    // range. Suppliers paired with parts priced within ±25 of their
+    // account balance, counted per supplier.
+    "join_range_banded" -> ((s, d) => {
+      val w = 25.0
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_acctbal"))
+        .withColumn("b", floor(col("s_acctbal") / w).cast("long"))
+        .withColumn("jb", explode(array(col("b") - 1, col("b"),
+          col("b") + 1)))
+      val par = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_retailprice"))
+        .withColumn("jb", floor(col("p_retailprice") / w).cast("long"))
+      sup.join(par, "jb")
+        .filter(abs(col("s_acctbal") - col("p_retailprice")) <= w)
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_parts"),
+          min("p_partkey").as("first_part"))
+        .orderBy("s_suppkey")
     })
   )
 
@@ -452,6 +480,15 @@ object Joins {
       """SELECT s_nationkey, count(*) AS n_items,
         | round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    // The PLAIN theta join: matching it proves the banded rewrite's
+    // bucket ± 1 coverage on real data.
+    "join_range_banded" ->
+      """SELECT s_suppkey, count(*) AS n_parts,
+        | min(p_partkey) AS first_part
+        |FROM supplier JOIN part
+        |  ON abs(s_acctbal - p_retailprice) <= 25
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
   )
 }

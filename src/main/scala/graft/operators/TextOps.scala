@@ -346,6 +346,31 @@ object TextOps {
           round(col("corr_raw"), 4).as("fit_corr"))
         .orderBy("lang")),
 
+    // Keyword extraction: top-3 terms per document ranked by
+    // (tf DESC, df ASC, term ASC) — frequent-in-doc, rare-in-corpus,
+    // with a FULLY INTEGER ordering key (a tf·idf score would put a
+    // cross-engine ln() in the sort key — libm last-ulp differences
+    // could flip near-ties; text_tfidf carries the float score as an
+    // OUTPUT, here it would decide the ranking). Same unhinted
+    // term-keyed tf⋈df join as text_tfidf (df is vocabulary-sized —
+    // broadcast at fixture scale, co-partitioned beyond); the per-doc
+    // window partitions by doc_id, so rank state is 3 rows per doc
+    // and parallelism scales with the corpus.
+    "text_keywords" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = W.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      tf.join(df, "term")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rn"))
+        .orderBy("doc_id", "rn")
+    }),
+
     // Language-ID by marker-token voting: a broadcast profile table of
     // (marker word, lang, weight) joined against exploded tokens,
     // argmax per doc. No-oracle: the heuristic's profile table is
@@ -903,6 +928,23 @@ object TextOps {
         |    lead(text, 1) OVER win AS next_text
         |  FROM documents
         |  WINDOW win AS (PARTITION BY lang ORDER BY doc_id)
-        |) t WHERE next_id IS NOT NULL ORDER BY doc_id""".stripMargin
+        |) t WHERE next_id IS NOT NULL ORDER BY doc_id""".stripMargin,
+
+    "text_keywords" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents) t
+        |  GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), r AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df, tf.term) AS rn
+        |  FROM tf JOIN df USING (term)
+        |)
+        |SELECT doc_id, term, tf, df, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
   )
 }

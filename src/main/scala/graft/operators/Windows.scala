@@ -180,6 +180,25 @@ object Windows {
         .select(col("event_id"), col("event_type"),
           (col("intra_run") + col("offset")).as("distinct_users"))
         .orderBy("event_id")
+    }),
+
+    // Gap fill by last observation carried forward (LOCF) — the
+    // sensor-feed repair op (a vessel's last KNOWN purchase value at
+    // every event): `last(..., ignoreNulls)` over the cumulative
+    // per-user frame. The value passes through untouched (no
+    // arithmetic, no rounding) so the doubles compare bit-for-bit;
+    // rows before a user's first purchase stay NULL, which both
+    // engines serialize identically. Same bounded-state shape as
+    // every window here: one hash exchange on user_id.
+    "window_gap_fill" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("pv",
+          when(col("event_type") === "purchase", col("value")))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          last("pv", ignoreNulls = true).over(w).as("last_purchase_value"))
+        .orderBy("event_id")
     })
   )
 
@@ -272,6 +291,15 @@ object Windows {
         |    row_number() OVER (PARTITION BY p_brand
         |      ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
         |  FROM part
-        |) t WHERE rn <= 2 ORDER BY p_brand, rn""".stripMargin
+        |) t WHERE rn <= 2 ORDER BY p_brand, rn""".stripMargin,
+
+    "window_gap_fill" ->
+      """SELECT user_id, event_id, event_type,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_purchase_value
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

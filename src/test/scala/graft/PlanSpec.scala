@@ -321,6 +321,47 @@ class PlanSpec extends SparkSpec {
     assert(shuffleExchanges(plan("events_markov")) <= 4)
   }
 
+  test("join_range_banded: the band join is an EQUI join — no BNLJ") {
+    // The rewrite's whole point: bucket ± 1 explode turns |x−y| ≤ w
+    // into a hash-joinable equi key. A BNLJ or cartesian here means
+    // the banding regressed to the O(n·m) theta baseline.
+    val p = plan("join_range_banded")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Join"))
+  }
+
+  test("agg_mode: two partial+final aggregates, no extra shuffles") {
+    // (status, priority) counts + per-status argmin + final sort = 3
+    val p = plan("agg_mode")
+    assert(countOf(p, "HashAggregate") >= 4) // 2 aggs x partial+final
+    assert(shuffleExchanges(p) <= 3)
+  }
+
+  test("window_gap_fill: LOCF rides ONE user exchange") {
+    val p = plan("window_gap_fill")
+    assert(shuffleExchanges(p) <= 2) // user_id window + final sort
+    assert(p.contains("Window"))
+  }
+
+  test("text_keywords: rn <= 3 caps per-doc state via WindowGroupLimit") {
+    // Same pushdown contract as text_postings: the rank cap must
+    // compile to WindowGroupLimit so no task holds more than 3 rows
+    // per doc before the filter.
+    assert(countOf(plan("text_keywords"), "WindowGroupLimit") >= 1)
+  }
+
+  test("geo_zone_rank: iterations read the PERSISTED edge frame") {
+    // Without the cache the 10-iteration lineage recomputes the whole
+    // sessionization pipeline per iteration; with it every iteration
+    // scans the zone-cardinality in-memory frame.
+    val p = plan("geo_zone_rank")
+    assert(p.contains("InMemoryRelation")
+      || p.contains("InMemoryTableScan"),
+      "zone-rank edges are no longer persisted")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("events_retention: cohort frame and join share the user_id key") {
     // 2 hash exchanges on user_id (cohort agg + the event side of the
     // join), 1 hash on (cohort_day, offset), 1 range (final sort).

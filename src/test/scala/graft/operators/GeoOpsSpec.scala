@@ -366,6 +366,25 @@ class GeoOpsSpec extends SparkSpec {
       "a bbox-dropped predecessor no longer re-opens the zone entry")
   }
 
+  test("zoneRank: exact integer ranks on a hand-computed graph") {
+    // A → B with weight 1. Iter 1: B absorbs A's full initial mass
+    // (10⁶ ppm damped: 150000 + 850000), A (no in-edges) drops to the
+    // 150000 floor. From iter 2 on, B = 150000 + (850000·150000) div
+    // 10⁶ = 277500 — a fixed point, so ANY iters ≥ 2 must land these
+    // exact integers. Dangling B leaks its mass (documented policy).
+    val s = spark
+    import s.implicits._
+    val edges = Seq(("A", "B", 1L)).toDF("o_zone", "d_zone", "w")
+    val ranks = GeoOps.zoneRank(edges, iters = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks == Map("A" -> 150000L, "B" -> 277500L))
+    // a 2-cycle conserves: A ⇄ B stays at the uniform fixed point
+    val cyc = Seq(("A", "B", 3L), ("B", "A", 3L)).toDF("o_zone", "d_zone", "w")
+    val cr = GeoOps.zoneRank(cyc, iters = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cr == Map("A" -> 1000000L, "B" -> 1000000L))
+  }
+
   test("geo_od_matrix: OD cells conserve voyages and bound vessels") {
     val od = GeoOps.queries("geo_od_matrix")(spark, graft.SparkSpec.sf001)
       .collect()
