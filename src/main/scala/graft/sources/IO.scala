@@ -109,12 +109,15 @@ object IO {
     * join key so equi-joins between tables bucketed the same way need
     * NO shuffle (SortMergeJoin reads pre-partitioned, pre-sorted
     * buckets). The lakehouse layout for the repeated big-big joins of
-    * a 100-TB star schema — see BucketingSpec for the plan proof. */
+    * a 100-TB star schema — see BucketingSpec for the plan proof.
+    * `path` makes the table EXTERNAL at that location (so callers can
+    * keep scratch data out of the session's warehouse dir). */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-      bucketCols: Seq[String]): Unit =
-    df.write.mode("overwrite")
+      bucketCols: Seq[String], path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

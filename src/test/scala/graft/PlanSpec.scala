@@ -321,6 +321,29 @@ class PlanSpec extends SparkSpec {
     assert(shuffleExchanges(plan("events_markov")) <= 4)
   }
 
+  test("source_partitioned_prune: the type filter prunes partitions") {
+    // The filter must land in PartitionFilters (directory-level
+    // pruning), not merely PushedFilters (row-group skipping): at
+    // 100 TB this is the difference between listing one partition
+    // and scanning the lake.
+    val p = plan("source_partitioned_prune")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("purchase")),
+      "event_type = 'purchase' no longer reaches PartitionFilters")
+  }
+
+  test("source_bucketed_join: co-located SMJ — zero exchanges below" +
+      " the join") {
+    // Both sides bucketed 8 ways on the join key: the sort-merge join
+    // must read pre-partitioned buckets with NO shuffle; the only
+    // exchanges are the post-join segment agg + final sort.
+    val p = plan("source_bucketed_join")
+    assert(p.contains("SortMergeJoin"))
+    assert(countOf(p, "Bucketed: true") >= 2,
+      "a side lost its bucketed layout — the join shuffle is back")
+    assert(shuffleExchanges(p) <= 2)
+  }
+
   test("join_range_banded: the band join is an EQUI join — no BNLJ") {
     // The rewrite's whole point: bucket ± 1 explode turns |x−y| ≤ w
     // into a hash-joinable equi key. A BNLJ or cartesian here means
