@@ -32,13 +32,16 @@ class RegistrySpec extends SparkSpec {
   }
 
   // Queries allowed to be empty at the toy SF: dedup_* (the dup
-  // fixtures only exist at sf0.1 — FIXTURES.md) and the co-presence
+  // fixtures only exist at sf0.1 — FIXTURES.md), the co-presence
   // pair family (1000 events over a month almost never put two
   // vessels in the same zone-hour; the graded t2 SFs return 79 /
-  // 56398 pair rows, and geo_meeting_streaks one row per pair).
+  // 56398 pair rows, and geo_meeting_streaks one row per pair), and
+  // the ±25 band join (sf0.001's 10 suppliers all sit far from the
+  // 900–1000 part price band; the graded SFs pair 3 / 16 suppliers).
   private def mayBeEmpty(name: String): Boolean =
     name.startsWith("dedup_") || name == "geo_co_presence" ||
-      name == "geo_meeting_streaks" || name == "geo_triangles"
+      name == "geo_meeting_streaks" || name == "geo_triangles" ||
+      name == "join_range_banded"
 
   // One test per query: runs + identical output across two runs
   // (catches missing total-order ORDER BY without needing DuckDB).
