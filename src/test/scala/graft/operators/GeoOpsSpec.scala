@@ -385,6 +385,24 @@ class GeoOpsSpec extends SparkSpec {
     assert(cr == Map("A" -> 1000000L, "B" -> 1000000L))
   }
 
+  test("zoneRank: the bounded driver fast path equals the" +
+      " distributed loop on the real OD graph") {
+    // Both implementations of the integer recurrence (plain-Scala
+    // driver iteration vs the 10-round join/agg DataFrame loop) are
+    // FORCED via the threshold and must agree row for row — the
+    // dedup_clusters both-paths discipline.
+    val edges = GeoOps.queries("geo_od_matrix")(spark, SparkSpec.sf001)
+      .select(org.apache.spark.sql.functions.col("o_zone"),
+        org.apache.spark.sql.functions.col("d_zone"),
+        org.apache.spark.sql.functions.col("n_voyages").as("w"))
+    val fast = GeoOps.zoneRank(edges, iters = 10,
+      driverMaxEdges = Long.MaxValue).collect().map(_.toString).toSeq
+    val dist = GeoOps.zoneRank(edges, iters = 10, driverMaxEdges = 0L)
+      .collect().map(_.toString).toSeq
+    assert(fast.nonEmpty && fast == dist,
+      "driver fast path diverges from the distributed power iteration")
+  }
+
   test("geo_od_matrix: OD cells conserve voyages and bound vessels") {
     val od = GeoOps.queries("geo_od_matrix")(spark, graft.SparkSpec.sf001)
       .collect()
