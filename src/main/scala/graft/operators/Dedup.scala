@@ -150,6 +150,35 @@ object Dedup {
     "dedup_minhash" -> ((s, d) =>
       minhashPairs(s, d).orderBy("d1", "d2")),
 
+    // PARAGRAPH-level boilerplate detection — the sub-document dedup
+    // pass real corpus prep runs alongside whole-doc dedup (repeated
+    // headers/footers/navigation survive document dedup): texts chunk
+    // into consecutive 10-word "paragraphs", a chunk appearing in
+    // MORE THAN ONE document is boilerplate, and each doc reports its
+    // chunk + boilerplate-chunk counts. All integers. Scale shape:
+    // chunk instances explode ~n_tokens/10 rows; the frequency join
+    // keys on the chunk — at 100 TB the shuffle would carry
+    // rollingFingerprint(chunk) instead of the string, the
+    // dedup_exact_fingerprint discipline (collision-verify
+    // broadcast), kept as strings here to stay oracle-exact.
+    "dedup_paragraphs" -> ((s, d) => {
+      val ch = Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("nch", expr("size(ws) div 10"))
+        .filter(col("nch") > 0)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, nch)," +
+            " i -> array_join(slice(ws, (i - 1) * 10 + 1, 10), ' '))"))
+          .as("chunk"))
+      val freq = ch.groupBy("chunk")
+        .agg(countDistinct("doc_id").as("nd"))
+      ch.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_boiler"))
+        .orderBy("doc_id")
+    }),
+
     // Near-dup survivorship clustering: connected components over the
     // verified MinHash pair graph (a doc transitively near-dup with
     // another belongs to one cluster; the cluster id is its min
@@ -516,6 +545,23 @@ object Dedup {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
         | CAST(min(n_chars) AS BIGINT) AS n_chars
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "dedup_paragraphs" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), ch AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, CAST(len(l) // 10 AS INT)),
+        |    i -> array_to_string(l[(i*10+1):(i*10+10)], ' '))) AS chunk
+        |  FROM ws
+        |), f AS (
+        |  SELECT chunk, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1
+        |)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_boiler
+        |FROM ch JOIN f USING (chunk)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Same ground truth as dedup_exact — the fingerprint grouping +
     // full-text verify is an exact algorithm, not an approximation.

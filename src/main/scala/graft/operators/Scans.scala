@@ -75,6 +75,22 @@ object Scans {
         .orderBy("c_mktsegment")
     }),
 
+    // ORC roundtrip — the other native columnar format, same graded
+    // write-then-read contract as the CSV/JSONL pair (IO has carried
+    // the ORC wrappers since round 3; this makes them graded).
+    "source_orc_roundtrip" -> ((s, d) => {
+      val path = scratch(d, "supplier_orc")
+      graft.sources.IO.writeOrc(Tables.supplier(s, d), path)
+      graft.sources.IO.readOrc(s, path)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(round(col("s_acctbal") * 100).cast("long"))
+            .as("total_bal_cents"))
+        .orderBy("n_name")
+    }),
+
     // PARTITION PRUNING as a graded query: events written
     // partitioned by event_type (the lakehouse layout seam), read
     // back with a partition-column filter — the scan must list only
@@ -162,6 +178,13 @@ object Scans {
         |   AS total_bal_cents
         |FROM customer GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    "source_orc_roundtrip" ->
+      """SELECT n_name, count(*) AS n_suppliers,
+        | CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |   AS total_bal_cents
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "source_partitioned_prune" ->
       """SELECT user_id, count(*) AS n,

@@ -371,6 +371,34 @@ object TextOps {
         .orderBy("doc_id", "rn")
     }),
 
+    // Character-trigram profile per language — the char-level
+    // statistic the word-level family lacks (char n-gram profiles
+    // are what real language-ID models train on; text_langid's
+    // marker-word heuristic is the word-level stand-in). Top-10
+    // trigrams per lang by count, (n DESC, gram) tiebreak — integer
+    // ordering. The top-k is the text_zipf TWO-PHASE shape: rank
+    // within (lang, hash-bucket) first, so no task sorts a whole
+    // language's trigram vocabulary.
+    "text_char_ngrams" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val wBucket = W.partitionBy("lang", "bkt")
+        .orderBy(col("n").desc, col("g"))
+      val wLang = W.partitionBy("lang").orderBy(col("n").desc, col("g"))
+      Tables.documents(s, d)
+        .filter(length(col("text")) >= 3)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, length(text) - 2)," +
+            " i -> substring(text, i, 3))")).as("g"))
+        .groupBy("lang", "g").agg(count(lit(1)).as("n"))
+        .withColumn("bkt", pmod(xxhash64(col("g")), lit(16L)))
+        .withColumn("brk", row_number().over(wBucket))
+        .filter(col("brk") <= 10)
+        .withColumn("rk", row_number().over(wLang))
+        .filter(col("rk") <= 10)
+        .select(col("lang"), col("g").as("gram"), col("n"), col("rk"))
+        .orderBy("lang", "rk")
+    }),
+
     // Language-ID by marker-token voting: a broadcast profile table of
     // (marker word, lang, weight) joined against exploded tokens,
     // argmax per doc. No-oracle: the heuristic's profile table is
@@ -929,6 +957,22 @@ object TextOps {
         |  FROM documents
         |  WINDOW win AS (PARTITION BY lang ORDER BY doc_id)
         |) t WHERE next_id IS NOT NULL ORDER BY doc_id""".stripMargin,
+
+    "text_char_ngrams" ->
+      """WITH g AS (
+        |  SELECT lang, unnest(list_transform(
+        |    range(1, length(text) - 1),
+        |    i -> substring(text, CAST(i AS INT), 3))) AS g
+        |  FROM documents WHERE length(text) >= 3
+        |), c AS (
+        |  SELECT lang, g, count(*) AS n FROM g GROUP BY 1, 2
+        |), r AS (
+        |  SELECT lang, g, n, row_number() OVER (PARTITION BY lang
+        |    ORDER BY n DESC, g) AS rk
+        |  FROM c
+        |)
+        |SELECT lang, g AS gram, n, CAST(rk AS INTEGER) AS rk
+        |FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
 
     "text_keywords" ->
       """WITH tf AS (
