@@ -35,6 +35,14 @@ case class VoyageOut(user_id: Long, o_zone: String, d_zone: String,
   * the per-key event-time high-water mark for the late-event guard. */
 case class TransitionState(lastType: String, last: Long)
 
+/** Last known purchase value per user (gap-fill state); -1 = none
+  * yet. `last` is the event-time high-water mark. */
+case class GapFillState(value: Double, hasValue: Boolean, last: Long)
+
+/** Emitted gap-filled event. */
+case class GapFillOut(user_id: Long, event_id: Long, event_type: String,
+    last_purchase_value: java.lang.Double)
+
 /** Emitted transition pair. */
 case class TransitionOut(user_id: Long, from_type: String, to_type: String)
 
@@ -254,6 +262,37 @@ object Streams {
             }
           }
           last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming twin of window_gap_fill (last-observation-carried-
+    * forward): every event emits the user's last KNOWN purchase value
+    * the moment it arrives — the live sensor-repair feed. State per
+    * key is one double + the high-water mark; same late-straggler
+    * drop as [[statefulSessions]] (a stale report must not roll the
+    * carried value backwards). StreamingSpec proves the emitted
+    * stream equals the batch LOCF window across split micro-batches. */
+  def statefulGapFill(events: Dataset[EventRow]): Dataset[GapFillOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapFillState, GapFillOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EventRow], state: GroupState[GapFillState]) =>
+          val evs = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var s = state.getOption.getOrElse(GapFillState(0.0, false, -1L))
+          val out = Seq.newBuilder[GapFillOut]
+          evs.foreach { e =>
+            val t = micros(e.ts)
+            if (t >= s.last) { // late straggler: drop
+              if (e.event_type == "purchase")
+                s = GapFillState(e.value, hasValue = true, t)
+              else s = s.copy(last = t)
+              out += GapFillOut(uid, e.event_id, e.event_type,
+                if (s.hasValue) Double.box(s.value) else null)
+            }
+          }
+          state.update(s)
           out.result().iterator
       }
   }

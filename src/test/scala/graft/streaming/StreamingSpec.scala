@@ -166,6 +166,28 @@ class StreamingSpec extends SparkSpec {
     assert(twoBatch == closedBatchVoyages)
   }
 
+  test("stateful gap fill: LOCF stream == batch window, across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val batchLocf = graft.operators.Windows.queries("window_gap_fill")(
+      spark, SparkSpec.sf0001)
+      .collect().map(_.mkString("|")).toSeq.sorted
+    val (b1, b2) = batchEvents.splitAt(batchEvents.length / 2)
+    val ms = MemoryStream[Ev]
+    val q = Streams.statefulGapFill(ms.toDF().as[EventRow]).writeStream
+      .format("memory").queryName("t_locf").outputMode("append").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_locf")
+      .select("user_id", "event_id", "event_type", "last_purchase_value")
+      .collect().map(_.mkString("|")).toSeq.sorted
+    assert(streamed.nonEmpty && streamed == batchLocf,
+      "streamed LOCF diverges from the batch window")
+  }
+
   test("stateful late-event guard: a cross-batch straggler is dropped," +
       " not merged into open state") {
     // The hazard the guard exists for (round-8 review brief): a
