@@ -132,7 +132,19 @@ object Functions {
           min(col("l_shipdate").cast("date").cast("string")).as("first_ship"),
           max(col("l_shipdate").cast("date")).as("last_ship_date"),
           sum(col("l_quantity").cast("long")).as("int_qty"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // Cryptographic digest family — md5 + sha256 over the UTF-8
+    // bytes of each document (content addressing / integrity
+    // checking; standards-fixed algorithms, so the lowercase hex
+    // strings match ANY correct implementation — the strongest
+    // possible cross-engine check).
+    "hash_funcs" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("md5_hex"),
+          sha2(col("text").cast("binary"), 256).as("sha256_hex"))
+        .orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -217,6 +229,11 @@ object Functions {
         | CAST(min(CAST(l_shipdate AS DATE)) AS VARCHAR) AS first_ship,
         | max(CAST(l_shipdate AS DATE)) AS last_ship_date,
         | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS int_qty
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "hash_funcs" ->
+      """SELECT doc_id, md5(text) AS md5_hex,
+        | sha256(text) AS sha256_hex
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

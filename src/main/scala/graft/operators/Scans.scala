@@ -111,6 +111,37 @@ object Scans {
         .orderBy("user_id")
     }),
 
+    // MERGE/upsert sink as a graded query: write a base orders
+    // snapshot, apply an update batch through [[IO.upsertParquet]]
+    // (keys % 5 == 0 re-priced at version 2 — some keys update
+    // existing rows, some insert new ones), read the merged target
+    // back and aggregate. The oracle expresses the post-merge state
+    // directly over the ORIGINAL table, so the hash match proves the
+    // anti-join + union + swap rewrite implements MERGE semantics
+    // exactly. Sums in integer cents.
+    "sink_upsert_merge" -> ((s, d) => {
+      val path = scratch(d, "upsert_orders")
+      val base = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 3 =!= 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("version", lit(1L))
+      val updates = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+        .withColumn("version", lit(2L))
+      graft.sources.IO.writeParquet(base, path)
+      graft.sources.IO.upsertParquet(s, path, updates,
+        keyCols = Seq("o_orderkey"), versionCol = "version")
+      s.read.parquet(path)
+        .groupBy((col("o_custkey") % 10).as("cust_bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("total_cents"),
+          max("version").as("max_version"))
+        .orderBy("cust_bucket")
+    }),
+
     // BUCKETED co-located join as a graded query: orders + customer
     // both bucketed 8 ways on the join key (external tables under
     // /tmp), then a sort-merge join that needs NO shuffle — the
@@ -192,6 +223,20 @@ object Scans {
         |   AS cents
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // The post-merge state expressed directly: survivors (keys not
+    // % 3 == 0) keep version 1 and their price unless re-priced;
+    // every % 5 == 0 key is present at version 2 with doubled price.
+    "sink_upsert_merge" ->
+      """SELECT o_custkey % 10 AS cust_bucket, count(*) AS n_orders,
+        | CAST(sum(CAST(round((CASE WHEN o_orderkey % 5 = 0
+        |     THEN o_totalprice * 2 ELSE o_totalprice END) * 100)
+        |   AS BIGINT)) AS BIGINT) AS total_cents,
+        | CAST(max(CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END)
+        |   AS BIGINT) AS max_version
+        |FROM orders
+        |WHERE o_orderkey % 3 <> 0 OR o_orderkey % 5 = 0
+        |GROUP BY 1 ORDER BY cust_bucket""".stripMargin,
 
     "source_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

@@ -182,6 +182,22 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // Distribution-position windows: percent_rank ((rk−1)/(n−1)) and
+    // cume_dist (rows ≤ current / n) per market segment. Both are
+    // UNROUNDED ratios of identical integers — IEEE division is
+    // deterministic cross-engine (the tie-model's safe pattern), and
+    // the (acctbal, custkey) order is total so ranks never depend on
+    // engine sort stability.
+    "window_cume_dist" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("c_custkey")
+    }),
+
     // Gap fill by last observation carried forward (LOCF) — the
     // sensor-feed repair op (a vessel's last KNOWN purchase value at
     // every event): `last(..., ignoreNulls)` over the cumulative
@@ -292,6 +308,14 @@ object Windows {
         |      ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
         |  FROM part
         |) t WHERE rn <= 2 ORDER BY p_brand, rn""".stripMargin,
+
+    "window_cume_dist" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |  ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
 
     "window_gap_fill" ->
       """SELECT user_id, event_id, event_type,
