@@ -228,6 +228,27 @@ object EventOps {
           datediff(col("day"), col("cohort_day")).as("day_offset"))
         .agg(countDistinct("user_id").as("n_users"))
         .orderBy("cohort_day", "day_offset")
+    }),
+
+    // Conversion LATENCY — the time-to-value metric behind the
+    // funnel counts: per converting user, whole seconds from their
+    // first view to their first strictly-later purchase. Integer-µs
+    // arithmetic end to end (`div` to seconds); one per-user agg, a
+    // user-keyed join, a second per-user agg — all on the user_id
+    // key.
+    "events_conversion_lag" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val fv = ev.filter(col("event_type") === "view")
+        .groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("fv"))
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("pt"))
+        .join(fv, "user_id")
+        .filter(col("pt") > col("fv"))
+        .groupBy("user_id")
+        .agg(min("pt").as("fp"), min("fv").as("fvv"))
+        .select(col("user_id"), expr("(fp - fvv) div 1000000").as("lag_s"))
+        .orderBy("user_id")
     })
   )
 
@@ -362,6 +383,19 @@ object EventOps {
         |    AS INTEGER) AS day_offset,
         |  count(DISTINCT e.user_id) AS n_users
         |FROM events e JOIN cohorts c ON e.user_id = c.user_id
-        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "events_conversion_lag" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS fv FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), conv AS (
+        |  SELECT p.user_id, min(epoch_us(p.ts)) AS fp, min(f.fv) AS fv
+        |  FROM events p JOIN fv f ON p.user_id = f.user_id
+        |  WHERE p.event_type = 'purchase' AND epoch_us(p.ts) > f.fv
+        |  GROUP BY 1
+        |)
+        |SELECT user_id, CAST((fp - fv) // 1000000 AS BIGINT) AS lag_s
+        |FROM conv ORDER BY user_id""".stripMargin
   )
 }

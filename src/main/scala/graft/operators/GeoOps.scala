@@ -329,6 +329,20 @@ object GeoOps {
           .select(col("o_zone"), col("d_zone"),
             col("n_voyages").as("w"))), iters = 10)),
 
+    // Traffic BASINS: connected components over the undirected lane
+    // graph — which zones are mutually reachable by observed traffic
+    // (the reachability complement to geo_zone_rank's importance;
+    // an isolated basin is a detached trade system). Component id =
+    // min zone label, with sizes. Same two-path discipline as
+    // [[zoneRank]]: bounded driver union-find below 100k edges,
+    // distributed min-label propagation with a convergence check
+    // beyond ([[zoneComponents]]).
+    "geo_zone_components" -> ((s, d) =>
+      zoneComponents(graft.Cache.cached(s, d, "geo.rankEdges")(
+        queries("geo_od_matrix")(s, d)
+          .select(col("o_zone"), col("d_zone"),
+            col("n_voyages").as("w"))))),
+
     // Zone ENTRIES — how many times vessels enter each polygon zone
     // (port-call counting): per (zone, vessel) order the reports by
     // (ts, event_id) and count inside-flag rising edges (inside now,
@@ -408,6 +422,76 @@ object GeoOps {
       r.select(col("zone"), col("r").as("rank_ppm"))
         .orderBy(col("rank_ppm").desc, col("zone"))
     }
+  }
+
+  /** Connected components over the OD lane graph (edges = lanes with
+    * o ≠ d, nodes = every zone any lane touches — a self-lane-only
+    * zone is its own component). Component id = min reachable zone
+    * label.
+    *
+    * Two paths, [[zoneRank]]'s discipline: ≤ `driverMaxEdges` a
+    * driver union-find (zone graphs are |zones|²-bounded, so this is
+    * the common regime); beyond, distributed min-label propagation —
+    * each round one equi-join + aggregate, rounds = component
+    * diameter, per-round persist + convergence count (the
+    * dedup_clusters ccFixedPoint idiom). GeoOpsSpec forces both
+    * paths equal. */
+  private[operators] def zoneComponents(od: DataFrame,
+      driverMaxEdges: Long = 100000L): DataFrame = {
+    val spark = od.sparkSession
+    import spark.implicits._
+    val lanes = od.select("o_zone", "d_zone")
+    val nodes = lanes.select(col("o_zone").as("zone"))
+      .unionByName(lanes.select(col("d_zone").as("zone"))).distinct()
+    val sym = lanes.filter(col("o_zone") =!= col("d_zone"))
+      .select(col("o_zone").as("a"), col("d_zone").as("b"))
+      .unionByName(lanes.filter(col("o_zone") =!= col("d_zone"))
+        .select(col("d_zone").as("a"), col("o_zone").as("b")))
+      .distinct()
+    val labels =
+      if (lanes.count() <= driverMaxEdges) {
+        val ns = nodes.as[String].collect()
+        val parent = scala.collection.mutable.Map(ns.map(z => z -> z): _*)
+        def find(x: String): String = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        sym.select("a", "b").collect().foreach { row =>
+          val (ra, rb) = (find(row.getString(0)), find(row.getString(1)))
+          if (ra != rb) { // min-label union => canonical component ids
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        ns.map(z => (z, find(z))).toSeq.toDF("zone", "component")
+      } else {
+        var lbl = nodes.select(col("zone"), col("zone").as("lbl"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        var changed = 1L
+        while (changed > 0) {
+          val cand = sym
+            .join(lbl.select(col("zone").as("b"), col("lbl").as("bl")), "b")
+            .groupBy("a").agg(min("bl").as("cand"))
+          val next = lbl
+            .join(cand.withColumnRenamed("a", "zone"), Seq("zone"), "left")
+            .select(col("zone"),
+              least(col("lbl"), coalesce(col("cand"), col("lbl")))
+                .as("lbl"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          changed = next
+            .join(lbl.withColumnRenamed("lbl", "old"), "zone")
+            .filter(col("lbl") =!= col("old")).count()
+          lbl.unpersist(blocking = false)
+          lbl = next
+        }
+        lbl.select(col("zone"), col("lbl").as("component"))
+      }
+    val sizes = labels.groupBy("component").agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "component")
+      .select("zone", "component", "csize")
+      .orderBy("zone")
   }
 
   /** Bbox-prefiltered (point, zone) candidates: one row per report ×
@@ -784,6 +868,35 @@ object GeoOps {
         |ORDER BY o_zone, d_zone""".stripMargin),
 
     "geo_zone_rank" -> zoneRankOracle,
+
+    // Undirected transitive closure from the same collapsed-voyage
+    // CTEs (the dedup_clusters recursive idiom); component = min
+    // reachable zone. Nodes seed from ALL lanes (a self-lane-only
+    // zone is its own component); edges exclude self-lanes.
+    "geo_zone_components" ->
+      (odCtesSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, od AS (
+          |  SELECT o_zone, d_zone FROM collapsed GROUP BY 1, 2
+          |), zn AS (
+          |  SELECT DISTINCT zone FROM (
+          |    SELECT o_zone AS zone FROM od
+          |    UNION ALL SELECT d_zone FROM od) t
+          |), ze AS (
+          |  SELECT o_zone AS a, d_zone AS b FROM od
+          |  WHERE o_zone <> d_zone
+          |  UNION SELECT d_zone, o_zone FROM od WHERE o_zone <> d_zone
+          |), reach(n, m) AS (
+          |  SELECT zone, zone FROM zn
+          |  UNION
+          |  SELECT r.n, e.b FROM reach r JOIN ze e ON r.m = e.a
+          |), lab AS (
+          |  SELECT n AS zone, min(m) AS component FROM reach GROUP BY n
+          |), sizes AS (
+          |  SELECT component AS c2, count(*) AS csize FROM lab GROUP BY 1
+          |)
+          |SELECT zone, component, csize
+          |FROM lab JOIN sizes ON component = c2
+          |ORDER BY zone""".stripMargin),
 
     "geo_voyages" ->
       """WITH pos AS (

@@ -403,6 +403,36 @@ class GeoOpsSpec extends SparkSpec {
       "driver fast path diverges from the distributed power iteration")
   }
 
+  test("zoneComponents: driver union-find equals distributed" +
+      " min-label propagation; hand-built basins are exact") {
+    val s = spark
+    import s.implicits._
+    // two basins (A-B-C chain, D-E) + an isolated self-lane zone F
+    val od = Seq(("A", "B", 1L), ("C", "B", 1L), ("E", "D", 1L),
+      ("F", "F", 2L)).toDF("o_zone", "d_zone", "w")
+    val fast = GeoOps.zoneComponents(od, driverMaxEdges = Long.MaxValue)
+      .collect().map(_.toString).toSeq
+    val dist = GeoOps.zoneComponents(od, driverMaxEdges = 0L)
+      .collect().map(_.toString).toSeq
+    assert(fast == dist, "union-find diverges from label propagation")
+    val m = GeoOps.zoneComponents(od, driverMaxEdges = Long.MaxValue)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(m == Map(
+      "A" -> ("A", 3L), "B" -> ("A", 3L), "C" -> ("A", 3L),
+      "D" -> ("D", 2L), "E" -> ("D", 2L), "F" -> ("F", 1L)))
+    // and both paths agree on the real OD graph
+    val real = GeoOps.queries("geo_od_matrix")(spark, SparkSpec.sf001)
+      .select(org.apache.spark.sql.functions.col("o_zone"),
+        org.apache.spark.sql.functions.col("d_zone"),
+        org.apache.spark.sql.functions.col("n_voyages").as("w"))
+    val rf = GeoOps.zoneComponents(real, driverMaxEdges = Long.MaxValue)
+      .collect().map(_.toString).toSeq
+    val rd = GeoOps.zoneComponents(real, driverMaxEdges = 0L)
+      .collect().map(_.toString).toSeq
+    assert(rf.nonEmpty && rf == rd)
+  }
+
   test("geo_od_matrix: OD cells conserve voyages and bound vessels") {
     val od = GeoOps.queries("geo_od_matrix")(spark, graft.SparkSpec.sf001)
       .collect()
