@@ -278,6 +278,25 @@ object Aggregates {
         .orderBy("bucket"))
 
     ,
+    // Quantity-weighted mean price — the weighted-average aggregate
+    // done EXACTLY: numerator and denominator accumulate as integers
+    // (price in cents × integer quantity), so partial aggregation
+    // order cannot move them; the final mean is two IEEE divisions of
+    // identical integers, deterministic cross-engine (a float
+    // sum(w·x)/sum(w) would be the order-dependent hazard).
+    "agg_weighted_avg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          sum((round(col("l_extendedprice") * 100) * col("l_quantity"))
+            .cast("long")).as("wsum_cents"),
+          sum(col("l_quantity").cast("long")).as("wtot"))
+        .select(col("l_returnflag"), col("wsum_cents"), col("wtot"),
+          (col("wsum_cents").cast("double") / col("wtot") / 100.0)
+            .as("wavg"))
+        .orderBy("l_returnflag"))
+
+    ,
     // MODE with a DETERMINISTIC tiebreak (most frequent value; ties →
     // lexicographically smallest): two partial+final hash aggregates —
     // per-(group, value) counts, then min_by over the (−n, value)
@@ -465,6 +484,17 @@ object Aggregates {
         |    AS total_cents,
         |  min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "agg_weighted_avg" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |     * CAST(l_quantity AS BIGINT)) AS BIGINT) AS wsum_cents,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wtot,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |     * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |   / sum(CAST(l_quantity AS BIGINT)) / 100.0 AS wavg
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     // Window formulation of the same deterministic argmin: rank by
     // (n DESC, value ASC), keep rn = 1.

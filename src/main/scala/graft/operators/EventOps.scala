@@ -236,6 +236,47 @@ object EventOps {
     // arithmetic end to end (`div` to seconds); one per-user agg, a
     // user-keyed join, a second per-user agg — all on the user_id
     // key.
+    // DAU / WAU / stickiness — the activity health metrics: distinct
+    // daily actives, distinct trailing-7-day actives per day, and
+    // their UNROUNDED ratio (integer-over-integer IEEE division, the
+    // safe pattern). The trailing window joins each day to its
+    // 7-day slice via a date-range condition on a days-sized frame.
+    "events_dau_wau" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val dau = days.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      val wau = days.select(col("day").as("d2"), col("user_id"))
+        .join(dau.select("day"),
+          col("d2") <= col("day") && col("d2") >= date_sub(col("day"), 6))
+        .groupBy("day").agg(countDistinct("user_id").as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          (col("dau").cast("double") / col("wau")).as("stickiness"))
+        .orderBy("day")
+    }),
+
+    // Longest DAILY ACTIVITY STREAK per user — gaps-and-islands over
+    // each user's distinct active days (date − dense row_number is
+    // constant within a run of consecutive days): the engagement
+    // metric behind "N-day streak" features. Integer outputs; the
+    // island key never leaves the user partition.
+    "window_streaks" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .withColumn("grp", expr(
+          "date_sub(day, row_number() OVER (PARTITION BY user_id" +
+            " ORDER BY day))"))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max("len").as("max_streak"),
+          count(lit(1)).as("n_streaks"),
+          sum("len").as("active_days"))
+        .orderBy("user_id")
+    }),
+
     "events_conversion_lag" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val fv = ev.filter(col("event_type") === "view")
@@ -384,6 +425,35 @@ object EventOps {
         |  count(DISTINCT e.user_id) AS n_users
         |FROM events e JOIN cohorts c ON e.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "events_dau_wau" ->
+      """WITH days AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        |), dau AS (
+        |  SELECT day, count(DISTINCT user_id) AS dau FROM days GROUP BY 1
+        |), wau AS (
+        |  SELECT d.day, count(DISTINCT x.user_id) AS wau
+        |  FROM dau d JOIN days x
+        |    ON x.day <= d.day AND x.day >= d.day - 6
+        |  GROUP BY 1
+        |)
+        |SELECT day, dau, wau, CAST(dau AS DOUBLE) / wau AS stickiness
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+
+    "window_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), isl AS (
+        |  SELECT user_id,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY day) AS INTEGER) AS grp
+        |  FROM days
+        |), runs AS (
+        |  SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2
+        |)
+        |SELECT user_id, max(len) AS max_streak,
+        |  count(*) AS n_streaks, CAST(sum(len) AS BIGINT) AS active_days
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "events_conversion_lag" ->
       """WITH fv AS (
