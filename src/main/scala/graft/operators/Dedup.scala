@@ -156,12 +156,14 @@ object Dedup {
     // into consecutive 10-word "paragraphs", a chunk appearing in
     // MORE THAN ONE document is boilerplate, and each doc reports its
     // chunk + boilerplate-chunk counts. All integers. Scale shape:
-    // chunk instances explode ~n_tokens/10 rows; the frequency join
-    // keys on the chunk — at 100 TB the shuffle would carry
-    // rollingFingerprint(chunk) instead of the string, the
-    // dedup_exact_fingerprint discipline (collision-verify
-    // broadcast), kept as strings here to stay oracle-exact.
+    // the dedup_exact_fingerprint discipline applied at chunk level —
+    // the corpus-wide frequency shuffle carries only
+    // (rollingFingerprint(chunk), doc_id); chunk STRINGS shuffle only
+    // for the broadcast-reached multi-doc-fingerprint candidate set,
+    // whose exact per-string recount removes hash collisions (so the
+    // result is string-exact and matches the plain-string oracle).
     "dedup_paragraphs" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val ch = Tables.documents(s, d)
         .withColumn("ws", split(col("text"), " "))
         .withColumn("nch", expr("size(ws) div 10"))
@@ -170,12 +172,25 @@ object Dedup {
           "transform(sequence(1, nch)," +
             " i -> array_join(slice(ws, (i - 1) * 10 + 1, 10), ' '))"))
           .as("chunk"))
-      val freq = ch.groupBy("chunk")
+      val fps = ch.select(col("doc_id"), col("chunk"),
+        graft.functions.GraftFunctions.rollingFingerprint(col("chunk"))
+          .as("fp"))
+      // narrow (fp, doc_id) shuffle; candidates = fps seen in >1 doc
+      val cand = fps.select("fp", "doc_id").groupBy("fp")
+        .agg(countDistinct("doc_id").as("ndf"))
+        .filter(col("ndf") > 1).select("fp")
+      val candInst = fps.join(broadcast(cand), "fp")
+        .select("doc_id", "chunk")
+      // exact recount on the candidate STRINGS removes collisions
+      val boiler = candInst.groupBy("chunk")
         .agg(countDistinct("doc_id").as("nd"))
-      ch.join(freq, "chunk")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_boiler"))
+        .filter(col("nd") > 1).select("chunk")
+      val perDocBoiler = candInst.join(broadcast(boiler), "chunk")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+      ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+        .join(perDocBoiler, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
         .orderBy("doc_id")
     }),
 

@@ -344,6 +344,18 @@ class PlanSpec extends SparkSpec {
     assert(shuffleExchanges(p) <= 2)
   }
 
+  test("dedup_paragraphs: the corpus-wide shuffle keys on the chunk" +
+      " FINGERPRINT") {
+    // The dedup_exact_fingerprint discipline at chunk level: the
+    // frequency exchange carries (fp, doc_id); chunk strings shuffle
+    // only for the broadcast-reached candidate set.
+    val p = plan("dedup_paragraphs")
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("fp#")),
+      "the chunk-frequency shuffle no longer keys on the fingerprint")
+    assert(countOf(p, "BroadcastHashJoin") >= 2)
+  }
+
   test("join_range_banded: the band join is an EQUI join — no BNLJ") {
     // The rewrite's whole point: bucket ± 1 explode turns |x−y| ≤ w
     // into a hash-joinable equi key. A BNLJ or cartesian here means
