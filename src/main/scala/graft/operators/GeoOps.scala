@@ -207,8 +207,14 @@ object GeoOps {
     // same operator at 1° (or finer): candidate volume tracks
     // occupancy² of the FINER cells — GeoOpsSpec proves the bound on
     // a synthetic hot cell.
+    // The pair set persists via [[graft.Cache]] ("geo.coPairs"):
+    // geo_triangles' five structural references to the edge frame
+    // would otherwise each rebuild the whole co-presence pipeline —
+    // the round-8 ReuseExchange finding (neither static reuse nor
+    // AQE's stage cache collapses duplicated lineages).
     "geo_co_presence" -> ((s, d) =>
-      coPresence(withPos(Tables.events(s, d)), cellDeg = 30.0)),
+      graft.Cache.cached(s, d, "geo.coPairs")(
+        coPresence(withPos(Tables.events(s, d)), cellDeg = 30.0))),
 
     // Convoy detection's core primitive — meeting STREAKS: for each
     // co-present vessel pair, the longest run of CONSECUTIVE meeting
@@ -298,7 +304,8 @@ object GeoOps {
     // dedup/÷3 correction needed. All joins are equi-joins on vertex
     // ids; everything after the co-presence pair set is integers.
     "geo_triangles" -> ((s, d) =>
-      triangleCounts(coPresence(withPos(Tables.events(s, d)), 30.0)
+      triangleCounts(graft.Cache.cached(s, d, "geo.coPairs")(
+        coPresence(withPos(Tables.events(s, d)), cellDeg = 30.0))
         .select("u1", "u2"))),
 
     // The flagship domain output: the 20 busiest inter-zone lanes
