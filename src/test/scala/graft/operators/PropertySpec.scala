@@ -190,4 +190,76 @@ class PropertySpec extends SparkSpec {
       assert(out(2L) == ((0.0, 0)), s"trial $trial: clean doc flagged")
     }
   }
+
+  test("property: zoneComponents == BFS reachability closure on" +
+      " random lane graphs") {
+    val s = spark; import s.implicits._
+    val genEdge = for {
+      a <- Gen.chooseNum(0, 19)
+      b <- Gen.chooseNum(0, 19)
+    } yield (f"z$a%02d", f"z$b%02d", 1L)
+    (1 to 3).foreach { trial =>
+      val edges = sample(Gen.listOfN(25, genEdge), 100L + trial)
+      // independent reference: BFS over the undirected graph
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val adj = nodes.map(n => n -> edges.collect {
+        case (a, b, _) if a != b && (a == n || b == n) =>
+          if (a == n) b else a
+      }.distinct).toMap
+      val expected = nodes.map { n =>
+        var seen = Set(n); var frontier = Set(n)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(adj).diff(seen)
+          seen ++= frontier
+        }
+        n -> seen.min
+      }.toMap
+      val sizes = expected.groupBy(_._2).map { case (c, m) => c -> m.size }
+      val got = GeoOps.zoneComponents(
+        edges.toDF("o_zone", "d_zone", "w"),
+        driverMaxEdges = if (trial % 2 == 0) Long.MaxValue else 0L)
+        .collect()
+        .map(r => r.getString(0) -> (r.getString(1), r.getLong(2)))
+        .toMap
+      val want = expected.map { case (n, c) =>
+        n -> (c, sizes(c).toLong)
+      }
+      assert(got == want, s"trial $trial: components diverge from BFS")
+    }
+  }
+
+  test("property: zoneRank == dense-matrix integer power iteration" +
+      " on random weighted digraphs") {
+    val s = spark; import s.implicits._
+    val genEdge = for {
+      a <- Gen.chooseNum(0, 11)
+      b <- Gen.chooseNum(0, 11)
+      w <- Gen.chooseNum(1L, 9L)
+    } yield (f"z$a%02d", f"z$b%02d", w)
+    (1 to 3).foreach { trial =>
+      val edges = sample(Gen.listOfN(20, genEdge), 200L + trial)
+        .groupBy(e => (e._1, e._2))
+        .map { case ((a, b), es) => (a, b, es.map(_._3).sum) }.toSeq
+      // independent reference: dense arrays, same integer recurrence
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val idx = nodes.zipWithIndex.toMap
+      val outW = edges.groupBy(_._1).map { case (a, es) =>
+        a -> es.map(_._3).sum }
+      var r = Array.fill(nodes.size)(1000000L)
+      (1 to 10).foreach { _ =>
+        val acc = Array.fill(nodes.size)(0L)
+        edges.foreach { case (a, b, w) =>
+          acc(idx(b)) += r(idx(a)) * w / outW(a)
+        }
+        r = acc.map(sv => 150000L + 850000L * sv / 1000000L)
+      }
+      val want = nodes.map(n => n -> r(idx(n))).toMap
+      val got = GeoOps.zoneRank(edges.toDF("o_zone", "d_zone", "w"),
+        iters = 10,
+        driverMaxEdges = if (trial % 2 == 0) Long.MaxValue else 0L)
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      assert(got == want, s"trial $trial: ranks diverge from the" +
+        " dense reference")
+    }
+  }
 }
