@@ -111,6 +111,28 @@ object Scans {
         .orderBy("user_id")
     }),
 
+    // SCHEMA EVOLUTION as a graded query: two parquet batches with
+    // different schemas (v2 adds a column) under one dataset, read
+    // with mergeSchema — v1 rows surface NULL for the added column,
+    // the lakehouse append-only evolution contract. v2 keys shift
+    // +100 so the union keeps a total order. The oracle is the
+    // UNION ALL with an explicit NULL column over the original table.
+    "source_schema_evolution" -> ((s, d) => {
+      val path = scratch(d, "evolving_nation")
+      graft.sources.IO.writeParquet(
+        Tables.nation(s, d).select("n_nationkey", "n_name"),
+        s"$path/v1")
+      graft.sources.IO.writeParquet(
+        Tables.nation(s, d).select(
+          (col("n_nationkey") + 100).as("n_nationkey"),
+          col("n_name"), col("n_regionkey")),
+        s"$path/v2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$path/v1", s"$path/v2")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    }),
+
     // MERGE/upsert sink as a graded query: write a base orders
     // snapshot, apply an update batch through [[IO.upsertParquet]]
     // (keys % 5 == 0 re-priced at version 2 — some keys update
@@ -223,6 +245,14 @@ object Scans {
         |   AS cents
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "source_schema_evolution" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM (
+        |  SELECT n_nationkey, n_name, CAST(NULL AS INTEGER)
+        |    AS n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 100, n_name, n_regionkey FROM nation
+        |) t ORDER BY n_nationkey""".stripMargin,
 
     // The post-merge state expressed directly: survivors (keys not
     // % 3 == 0) keep version 1 and their price unless re-priced;
