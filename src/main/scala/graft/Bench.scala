@@ -26,6 +26,7 @@ object Bench {
     "ann_ivf" -> Seq("sim.ivf"),
     "dedup_embed_ann" -> Seq("sim.lsh"),
     "dedup_near" -> Seq("dedup."),
+    "events_concurrency" -> Seq("events."),
     "geo_zone_rank" -> Seq("geo."),
     "pipeline_corpus_prep" -> Seq("pipeline."),
     "text_contamination" -> Seq("text."),

@@ -344,6 +344,20 @@ class PlanSpec extends SparkSpec {
     assert(shuffleExchanges(p) <= 2)
   }
 
+  test("events_concurrency: the GLOBAL running sum is two-phased" +
+      " by day") {
+    // No partition key exists for a global concurrency sweep, so the
+    // data-sized running sum must partition by day buckets; only the
+    // ~#days offsets frame may ride an unpartitioned window, and it
+    // re-attaches via broadcast.
+    val p = plan("events_concurrency")
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("day")),
+      "the boundary running sum regressed to a single partition")
+    assert(p.contains("BroadcastExchange"),
+      "the day offsets no longer re-attach via broadcast")
+  }
+
   test("dedup_paragraphs: the corpus-wide shuffle keys on the chunk" +
       " FINGERPRINT") {
     // The dedup_exact_fingerprint discipline at chunk level: the
