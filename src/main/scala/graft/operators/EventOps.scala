@@ -276,16 +276,22 @@ object EventOps {
     // DAU / WAU / stickiness — the activity health metrics: distinct
     // daily actives, distinct trailing-7-day actives per day, and
     // their UNROUNDED ratio (integer-over-integer IEEE division, the
-    // safe pattern). The trailing window joins each day to its
-    // 7-day slice via a date-range condition on a days-sized frame.
+    // safe pattern). The trailing window is the EXPLODE-7 form (the
+    // join_range_banded discipline applied to time): each active
+    // (day, user) row contributes itself to the 7 window-anchor days
+    // it can serve, then a plain distinct count per anchor — 7·n
+    // rows and an EQUI join against observed days, instead of the
+    // days × rows range-predicate nested loop.
     "events_dau_wau" -> ((s, d) => {
       val days = Tables.events(s, d)
         .select(to_date(col("ts")).as("day"), col("user_id"))
         .distinct()
       val dau = days.groupBy("day").agg(countDistinct("user_id").as("dau"))
-      val wau = days.select(col("day").as("d2"), col("user_id"))
-        .join(dau.select("day"),
-          col("d2") <= col("day") && col("d2") >= date_sub(col("day"), 6))
+      val wau = days
+        .select(explode(expr(
+          "transform(sequence(0, 6), k -> date_add(day, k))"))
+          .as("day"), col("user_id"))
+        .join(dau.select("day"), "day") // prune anchors past the horizon
         .groupBy("day").agg(countDistinct("user_id").as("wau"))
       dau.join(wau, "day")
         .select(col("day"), col("dau"), col("wau"),

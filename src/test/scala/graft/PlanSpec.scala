@@ -344,6 +344,16 @@ class PlanSpec extends SparkSpec {
     assert(shuffleExchanges(p) <= 2)
   }
 
+  test("events_dau_wau: the trailing window is the explode-7 EQUI" +
+      " join, not a range nested loop") {
+    // days × rows range predicates compile to BNLJ; the explode-7
+    // rewrite is 7·n rows + a hash join, the shape that survives a
+    // decade-long horizon.
+    val p = plan("events_dau_wau")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the trailing-7-day window regressed to a range nested loop")
+  }
+
   test("events_concurrency: the GLOBAL running sum is two-phased" +
       " by day") {
     // No partition key exists for a global concurrency sweep, so the
