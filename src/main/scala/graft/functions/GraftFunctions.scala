@@ -19,7 +19,8 @@ object GraftFunctions {
 
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => VecDot(es(0), es(1))),
-    "fingerprint_hash" -> (es => expressions.FingerprintHash(es(0))))
+    "fingerprint_hash" -> (es => expressions.FingerprintHash(es(0))),
+    "ray_cast" -> (es => expressions.RayCast(es(0), es(1), es(2))))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -68,5 +69,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[expressions.FingerprintHash].getName, "fingerprint_hash"),
       (es: Seq[Expression]) => expressions.FingerprintHash(es(0))))
+    ext.injectFunction((
+      FunctionIdentifier("ray_cast"),
+      new ExpressionInfo(classOf[expressions.RayCast].getName, "ray_cast"),
+      (es: Seq[Expression]) => expressions.RayCast(es(0), es(1), es(2))))
   }
 }

@@ -596,13 +596,35 @@ object GeoOps {
       (x1, y1, x2, y2)
     }
 
-  /** Even-odd ray cast as ONE row-local fold over a literal edge
-    * array: a horizontal ray from (px, py) crosses edge (p1, p2) iff
-    * the edge spans py vertically (strict/non-strict asymmetry makes
-    * shared vertices count once) and the point sits left of the
-    * edge at height py — decided integer-exactly by matching the
-    * cross-product sign to the edge's y-direction. */
+  /** Even-odd ray cast over the `px`/`py` columns — dispatches to
+    * the native codegen'd [[graft.functions.expressions.RayCast]]
+    * (edges hoisted into one stage-shared long[], primitive loop,
+    * whole-stage codegen) instead of the HOF form, which allocates
+    * the edge-struct array per ROW and interprets a lambda per edge
+    * — the VecDot/FingerprintHash escape-hatch precedent. The HOF
+    * twin below stays as the executable SPEC of the semantics;
+    * GeoOpsSpec proves native == HOF over the complete position
+    * orbit. Registration is idempotent on the calling thread's
+    * active session. */
   private[operators] def insideExpr(
+      verts: Seq[(Long, Long)]): org.apache.spark.sql.Column = {
+    graft.functions.GraftFunctions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    val flat = polyEdges(verts)
+      .flatMap { case (x1, y1, x2, y2) => Seq(x1, y1, x2, y2) }
+    org.apache.spark.sql.functions.call_function("ray_cast",
+      col("px"), col("py"), lit(flat.toArray))
+  }
+
+  /** The composable-`functions._` ray cast — ONE row-local fold over
+    * a literal edge array: a horizontal ray from (px, py) crosses
+    * edge (p1, p2) iff the edge spans py vertically (strict/
+    * non-strict asymmetry makes shared vertices count once) and the
+    * point sits left of the edge at height py — decided
+    * integer-exactly by matching the cross-product sign to the
+    * edge's y-direction. Kept as the executable SPEC of
+    * [[insideExpr]]'s native expression. */
+  private[operators] def insideExprHof(
       verts: Seq[(Long, Long)]): org.apache.spark.sql.Column = {
     val edges = polyEdges(verts).map { case (x1, y1, x2, y2) =>
       s"named_struct('x1', ${x1}L, 'y1', ${y1}L," +

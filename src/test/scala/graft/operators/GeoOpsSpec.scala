@@ -366,6 +366,27 @@ class GeoOpsSpec extends SparkSpec {
       "a bbox-dropped predecessor no longer re-opens the zone entry")
   }
 
+  test("ray_cast native expression == HOF ray cast, full position" +
+      " orbit × every zone") {
+    // The native codegen'd RayCast must agree with the composable
+    // aggregate-HOF form (the executable spec) on ALL 36000 orbit
+    // positions for each declared polygon AND the 100-zone grid —
+    // the FingerprintHash native-vs-HOF discipline.
+    import org.apache.spark.sql.functions._
+    val pts = spark.range(36000).select(
+      (col("id") * 7919 % 18000 - 9000).as("py"),
+      (col("id") * 104729 % 36000 - 18000).as("px"))
+    (GeoOps.zonePolygons ++ gridZones.take(20)).foreach {
+      case (z, verts) =>
+        val diff = pts.select(
+          GeoOps.insideExpr(verts).as("native"),
+          GeoOps.insideExprHof(verts).as("hof"))
+          .filter(col("native") =!= col("hof")).count()
+        assert(diff == 0L, s"zone $z: native ray cast diverges from" +
+          s" the HOF spec on $diff orbit points")
+    }
+  }
+
   test("zoneRank: exact integer ranks on a hand-computed graph") {
     // A → B with weight 1. Iter 1: B absorbs A's full initial mass
     // (10⁶ ppm damped: 150000 + 850000), A (no in-edges) drops to the
