@@ -577,7 +577,7 @@ object GeoOps {
     * edge at integer x is hit by every lattice point with px = x in
     * its span), hence the one-to-three-centi-degree shear on the
     * strait's rectangle. */
-  private[operators] val zonePolygons: Seq[(String, Seq[(Long, Long)])] =
+  private[graft] val zonePolygons: Seq[(String, Seq[(Long, Long)])] =
     Seq(
       "alpha_basin" -> Seq((-6000L, -3000L), (-1003L, -3502L),
         (-3L, 2001L), (-5000L, 2997L)),
@@ -586,6 +586,22 @@ object GeoOps {
         (2001L, -4998L)),
       "charlie_wedge" -> Seq((9998L, 2997L), (16999L, 3998L),
         (11999L, 8501L)))
+
+  /** Plain-Scala twin of the ray cast for per-event streaming state
+    * ([[graft.streaming.Streams.statefulZoneEntries]]) — the same
+    * integer arithmetic as the native [[insideExpr]] (StreamingSpec's
+    * stream == batch parity transitively proves the three
+    * formulations agree on every fixture point). */
+  private[graft] def insideOf(verts: Seq[(Long, Long)],
+      px: Long, py: Long): Boolean = {
+    var cnt = 0
+    polyEdges(verts).foreach { case (x1, y1, x2, y2) =>
+      if (((y1 > py) != (y2 > py)) &&
+          ((((x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)) > 0)
+            == (y2 > y1))) cnt += 1
+    }
+    cnt % 2 == 1
+  }
 
   /** Closing edge list (x1, y1, x2, y2) of a vertex ring. */
   private def polyEdges(

@@ -39,6 +39,14 @@ case class TransitionState(lastType: String, last: Long)
   * yet. `last` is the event-time high-water mark. */
 case class GapFillState(value: Double, hasValue: Boolean, last: Long)
 
+/** Per-vessel zone-presence state: the set of polygon zones the
+  * vessel is currently inside, plus the event-time high-water mark. */
+case class ZoneEntryState(inside: Map[String, Boolean], last: Long)
+
+/** Emitted zone entry (a rising inside-edge). */
+case class ZoneEntryOut(user_id: Long, zone: String,
+    ts: java.sql.Timestamp)
+
 /** Emitted gap-filled event. */
 case class GapFillOut(user_id: Long, event_id: Long, event_type: String,
     last_purchase_value: java.lang.Double)
@@ -290,6 +298,49 @@ object Streams {
               else s = s.copy(last = t)
               out += GapFillOut(uid, e.event_id, e.event_type,
                 if (s.hasValue) Double.box(s.value) else null)
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming twin of geo_zone_entries (port-call counting): a
+    * vessel's report emits a (zone, entry) record the moment it
+    * crosses INTO a polygon zone — the live berth/port-arrival feed.
+    * Per-key state is the vessel's current inside-set (|zones|
+    * booleans) + the event-time high-water mark, with the same
+    * late-straggler drop as the other custom-state ops. The ray cast
+    * is GeoOps.insideOf — the plain-Scala twin of the native RayCast
+    * expression, so stream == batch parity (StreamingSpec, split
+    * micro-batches) transitively proves all three formulations
+    * agree. An absent zone key counts as outside, so a vessel's
+    * first inside report IS an entry — the batch lag-null semantics. */
+  def statefulZoneEntries(events: Dataset[EventRow]): Dataset[ZoneEntryOut] = {
+    import events.sparkSession.implicits._
+    val zones = graft.operators.GeoOps.zonePolygons
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ZoneEntryState, ZoneEntryOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EventRow],
+            state: GroupState[ZoneEntryState]) =>
+          val evs = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var s = state.getOption.getOrElse(
+            ZoneEntryState(Map.empty, Long.MinValue))
+          val out = Seq.newBuilder[ZoneEntryOut]
+          evs.foreach { e =>
+            val t = micros(e.ts)
+            if (t >= s.last) { // late straggler: drop
+              val py = e.event_id * 7919 % 18000 - 9000
+              val px = e.event_id * 104729 % 36000 - 18000
+              val now = zones.map { case (z, verts) =>
+                z -> graft.operators.GeoOps.insideOf(verts, px, py)
+              }.toMap
+              now.foreach { case (z, in) =>
+                if (in && !s.inside.getOrElse(z, false))
+                  out += ZoneEntryOut(uid, z, e.ts)
+              }
+              s = ZoneEntryState(now, t)
             }
           }
           state.update(s)

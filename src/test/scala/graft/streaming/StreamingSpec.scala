@@ -166,6 +166,32 @@ class StreamingSpec extends SparkSpec {
     assert(twoBatch == closedBatchVoyages)
   }
 
+  test("stateful zone entries: entry stream aggregates to the batch" +
+      " rising-edge counts, across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val batchEntries = graft.operators.GeoOps.queries("geo_zone_entries")(
+      spark, SparkSpec.sf0001)
+      .collect().map(_.mkString("|")).toSeq.sorted
+    val (b1, b2) = batchEvents.splitAt(batchEvents.length / 2)
+    val ms = MemoryStream[Ev]
+    val q = Streams.statefulZoneEntries(ms.toDF().as[EventRow]).writeStream
+      .format("memory").queryName("t_zentries").outputMode("append").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_zentries")
+      .groupBy("zone")
+      .agg(count(lit(1)).as("n_entries"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("zone")
+      .collect().map(_.mkString("|")).toSeq.sorted
+    assert(streamed.nonEmpty && streamed == batchEntries,
+      "streamed zone entries diverge from the batch rising-edge counts")
+  }
+
   test("stateful gap fill: LOCF stream == batch window, across batches") {
     val s = spark
     import s.implicits._
