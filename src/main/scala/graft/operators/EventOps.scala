@@ -230,6 +230,26 @@ object EventOps {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // Seasonality profile — the (day-of-week × hour-of-day) activity
+    // matrix with each cell's share of total traffic in exact
+    // integer parts-per-million ((10⁶·n) div total — the
+    // events_markov prob_ppm pattern; a rounded float share is the
+    // decimal-tie hazard class). Spark dayofweek is 1 = Sunday vs
+    // DuckDB's 0 = Sunday — normalized to the 0-origin here, the
+    // date_funcs convention (SURVEY §2.0 hazard). One partial+final
+    // aggregate on a 168-cell key + a broadcast 1-row total.
+    "events_seasonality" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .groupBy((dayofweek(col("ts")) - 1).as("dow"),
+          hour(col("ts")).as("hod"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum("n").as("total"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("dow"), col("hod"), col("n"),
+          expr("(1000000 * n) div total").as("share_ppm"))
+        .orderBy("dow", "hod")
+    }),
+
     // Conversion LATENCY — the time-to-value metric behind the
     // funnel counts: per converting user, whole seconds from their
     // first view to their first strictly-later purchase. Integer-µs
@@ -516,6 +536,16 @@ object EventOps {
         |SELECT user_id, max(len) AS max_streak,
         |  count(*) AS n_streaks, CAST(sum(len) AS BIGINT) AS active_days
         |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_seasonality" ->
+      """WITH c AS (
+        |  SELECT CAST(dayofweek(ts) AS INTEGER) AS dow,
+        |    CAST(hour(ts) AS INTEGER) AS hod, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), t AS (SELECT sum(n) AS total FROM c)
+        |SELECT dow, hod, n,
+        |  CAST((1000000 * n) // total AS BIGINT) AS share_ppm
+        |FROM c CROSS JOIN t ORDER BY dow, hod""".stripMargin,
 
     "events_conversion_lag" ->
       """WITH fv AS (

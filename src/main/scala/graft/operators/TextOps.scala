@@ -346,6 +346,34 @@ object TextOps {
           round(col("corr_raw"), 4).as("fit_corr"))
         .orderBy("lang")),
 
+    // Shard MANIFEST — the artifact a training pipeline actually
+    // ships alongside its packed shards: per (lang, bin), the doc-id
+    // range, token total, and an ORDER-INDEPENDENT content checksum
+    // (bit_xor of the per-doc rolling fingerprints — XOR needs no
+    // overflow care, unlike a modular sum where Spark's wrapping
+    // BIGINT and DuckDB's HUGEINT promotion would diverge). Composes
+    // the two-phase [[packAssign]] with the shared fingerprint
+    // definition site; the doc-keyed fp join adds one narrow
+    // exchange.
+    "pipeline_shard_manifest" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = Tables.documents(s, d)
+      val assign = packAssign(docs
+        .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+        .select("lang", "doc_id", "toks"))
+      val fps = docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.rollingFingerprint(col("text"))
+          .as("fp"))
+      assign.join(fps, "doc_id")
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"),
+          sum("toks").as("bin_tokens"),
+          expr("bit_xor(fp)").as("fp_xor"))
+        .orderBy("lang", "bin")
+    }),
+
     // Keyword extraction: top-3 terms per document ranked by
     // (tf DESC, df ASC, term ASC) — frequent-in-doc, rare-in-corpus,
     // with a FULLY INTEGER ordering key (a tf·idf score would put a
@@ -509,7 +537,11 @@ object TextOps {
     * parameter so the spec can prove bucketed == naive at several
     * block factors.
     */
-  private[operators] def packBins(
+  /** The per-document bin ASSIGNMENT (lang, doc_id, toks, bin) —
+    * [[packBins]]' body up to the shard aggregate, split out so
+    * pipeline_shard_manifest can join per-doc metadata (fingerprints)
+    * onto the same assignment. */
+  private[operators] def packAssign(
       kept: org.apache.spark.sql.DataFrame,
       bucketSize: Long = 1024L,
       budget: Long = 4096L): org.apache.spark.sql.DataFrame = {
@@ -530,12 +562,19 @@ object TextOps {
       .join(broadcast(offsets), Seq("lang", "bkt"))
       .withColumn("prefix", col("offset") + col("intra"))
       .withColumn("bin", expr(s"prefix div $budget"))
+      .select("lang", "doc_id", "toks", "bin")
+  }
+
+  private[operators] def packBins(
+      kept: org.apache.spark.sql.DataFrame,
+      bucketSize: Long = 1024L,
+      budget: Long = 4096L): org.apache.spark.sql.DataFrame =
+    packAssign(kept, bucketSize, budget)
       .groupBy("lang", "bin")
       .agg(count(lit(1)).as("n_docs"),
         sum("toks").as("bin_tokens"),
         min("doc_id").as("first_doc"))
       .orderBy("lang", "bin")
-  }
 
   /** The text_edit_distance pair chain, RANGE-BLOCKED so no single
     * task ever sorts a whole language (the naive `lead` over a
@@ -755,6 +794,29 @@ object TextOps {
         |SELECT lang, CAST(prefix // 4096 AS BIGINT) AS bin,
         |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens,
         |  min(doc_id) AS first_doc
+        |FROM p GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    "pipeline_shard_manifest" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    list_reduce(
+        |      list_prepend(CAST(7 AS BIGINT),
+        |        list_transform(string_split(text, ''),
+        |          x -> CAST(ascii(x) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |  FROM documents
+        |), p AS (
+        |  SELECT lang, doc_id, toks, fp,
+        |    sum(toks) OVER (PARTITION BY lang ORDER BY doc_id) - toks
+        |      AS prefix
+        |  FROM t
+        |)
+        |SELECT lang, CAST(prefix // 4096 AS BIGINT) AS bin,
+        |  count(*) AS n_docs, min(doc_id) AS first_doc,
+        |  max(doc_id) AS last_doc,
+        |  CAST(sum(toks) AS BIGINT) AS bin_tokens,
+        |  CAST(bit_xor(fp) AS BIGINT) AS fp_xor
         |FROM p GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
 
     "text_fingerprint" ->
