@@ -55,7 +55,27 @@ object Filters {
         .agg(count(lit(1)).as("n"),
           round(sum("g"), 2).as("sum_capped_lo"),
           round(sum("l"), 2).as("sum_capped_hi"))
-        .orderBy("price_band", "status_norm"))
+        .orderBy("price_band", "status_norm")),
+
+    // NULL-safe comparison semantics (`<=>` / IS [NOT] DISTINCT
+    // FROM) — the three-valued-logic surface a data-cleaning filter
+    // must get right: plain `=` is NULL when either side is NULL
+    // (and counts as false under a filter), while the null-safe
+    // variants treat NULL = NULL as true. Counted side by side over
+    // the same derived nullable pair so the output EXHIBITS the
+    // difference; single aggregate row, all integers.
+    "filter_null_safe" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("a",
+          when(col("event_type") =!= "error", col("event_type")))
+        .withColumn("b",
+          when(col("value") <= 250, col("event_type")))
+        .agg(
+          sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_eq"),
+          sum(when(col("a") <=> col("b"), 1L).otherwise(0L))
+            .as("n_eq_nullsafe"),
+          sum(when(!(col("a") <=> col("b")), 1L).otherwise(0L))
+            .as("n_distinct_from")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -87,6 +107,20 @@ object Filters {
         | round(sum(least(o_totalprice, 100000)), 2) AS sum_capped_hi
         |FROM orders
         |GROUP BY 1, 2
-        |ORDER BY price_band, status_norm""".stripMargin
+        |ORDER BY price_band, status_norm""".stripMargin,
+
+    "filter_null_safe" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN event_type <> 'error' THEN event_type END AS a,
+        |    CASE WHEN value <= 250 THEN event_type END AS b
+        |  FROM events
+        |)
+        |SELECT
+        |  CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_eq,
+        |  CAST(sum(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_eq_nullsafe,
+        |  CAST(sum(CASE WHEN a IS DISTINCT FROM b THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_distinct_from
+        |FROM t""".stripMargin
   )
 }

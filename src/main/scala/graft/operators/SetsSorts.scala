@@ -59,6 +59,29 @@ object SetsSorts {
       val sup = Tables.supplier(s, d).filter(col("s_acctbal") > 9800)
         .select(col("s_nationkey").as("nationkey"))
       c.except(sup).orderBy("nationkey")
+    }),
+
+    // BAG semantics (EXCEPT ALL / INTERSECT ALL): multiplicities
+    // subtract / take the minimum instead of collapsing to distinct —
+    // the other half of the set-op family (SQL:2003 ALL variants,
+    // `Dataset.exceptAll`/`intersectAll`). Aggregated per key so the
+    // multiplicity arithmetic is visible in the output.
+    "set_except_all" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_nationkey").as("nationkey"))
+      c.exceptAll(sup)
+        .groupBy("nationkey").agg(count(lit(1)).as("n"))
+        .orderBy("nationkey")
+    }),
+
+    "set_intersect_all" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_nationkey").as("nationkey"))
+      c.intersectAll(sup)
+        .groupBy("nationkey").agg(count(lit(1)).as("n"))
+        .orderBy("nationkey")
     })
   )
 
@@ -99,6 +122,20 @@ object SetsSorts {
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT
         |SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9800
-        |ORDER BY nationkey""".stripMargin
+        |ORDER BY nationkey""".stripMargin,
+
+    "set_except_all" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT ALL
+        |  SELECT s_nationkey AS nationkey FROM supplier
+        |) t GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
+    "set_intersect_all" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT ALL
+        |  SELECT s_nationkey AS nationkey FROM supplier
+        |) t GROUP BY nationkey ORDER BY nationkey""".stripMargin
   )
 }
