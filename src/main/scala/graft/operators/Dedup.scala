@@ -108,12 +108,18 @@ object Dedup {
     "dedup_near" -> ((s, d) => {
       val sh = shingles(s, d)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      // Both sides project EVERY column to a side-unique name (sh →
+      // sh1/sh2 included): a `df("sh") === df("sh")` condition on two
+      // projections of one cached frame is the ambiguous-self-join
+      // shape Spark 4 only rescues via its "trivially true predicate"
+      // fixup — a rewrite the project periodically tightens into
+      // AMBIGUOUS_SELF_JOIN errors. Unique names need no rescue.
       val a = sh.select(col("doc_id").as("d1"), col("lang").as("lang1"),
-        col("n_chars").as("nc1"), col("sh"))
+        col("n_chars").as("nc1"), col("sh").as("sh1"))
       val b = sh.select(col("doc_id").as("d2"), col("lang").as("lang2"),
-        col("n_chars").as("nc2"), col("sh"))
+        col("n_chars").as("nc2"), col("sh").as("sh2"))
       a.join(b,
-          a("sh") === b("sh") && col("d1") < col("d2")
+          col("sh1") === col("sh2") && col("d1") < col("d2")
             && col("lang1") === col("lang2")
             && abs(col("nc1") - col("nc2")) <= 20)
         .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))

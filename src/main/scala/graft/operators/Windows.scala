@@ -90,12 +90,48 @@ object Windows {
         .orderBy("event_id")
     }),
 
-    // ntile: quartile bucketing of customers by balance.
+    // ntile: quartile bucketing of customers by balance. A native
+    // global ntile(4) has no partition key — Spark moves ALL
+    // customers to one task (the single-partition anti-pattern), so
+    // this is the events_concurrency two-phase prefix at GLOBAL
+    // scope: (1) bucket by floor(acctbal) — monotone in the sort
+    // key, so buckets are contiguous runs of the global order and
+    // intra-bucket rank + bucket offset = global rank, row for row;
+    // (2) per-bucket counts (a tiny ≤ ~11k-row frame, bounded by the
+    // fixed acctbal value range, not data size) take an EXCLUSIVE
+    // running offset on the one permitted unpartitioned window;
+    // (3) a broadcast join re-attaches offsets, then ntile is pure
+    // integer arithmetic on the global rank: with N rows and t=4
+    // tiles, q = N div t and the first N mod t tiles hold q+1 rows
+    // (exactly SQL ntile's split). The (acctbal, custkey) order is
+    // total, so the rank — and the oracle hash — is engine-exact.
     "window_ntile" -> ((s, d) => {
-      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-      Tables.customer(s, d)
+      val wIntra = Window.partitionBy("bkt")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      val wOff = Window.orderBy(col("bkt").desc)
+      val cust = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_acctbal"),
-          ntile(4).over(w).as("bal_quartile"))
+          floor(col("c_acctbal")).as("bkt"))
+      val offsets = cust.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+        .select(col("bkt"),
+          coalesce(sum("cnt").over(
+            wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+            .as("off"),
+          sum("cnt").over(wOff.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+            .as("total"))
+      cust
+        .withColumn("grank",
+          row_number().over(wIntra).cast("long"))
+        .join(broadcast(offsets), "bkt")
+        .withColumn("grank", col("grank") + col("off"))
+        .select(col("c_custkey"), col("c_acctbal"),
+          when(col("grank") <= (col("total") % 4) * (expr("total div 4") + 1),
+            expr("(grank - 1) div (total div 4 + 1) + 1"))
+            .otherwise(expr(
+              "total % 4 + (grank - (total % 4) * (total div 4 + 1) - 1)" +
+                " div (total div 4) + 1"))
+            .cast("int").as("bal_quartile"))
         .orderBy("c_custkey")
     }),
 

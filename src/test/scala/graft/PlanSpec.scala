@@ -423,6 +423,22 @@ class PlanSpec extends SparkSpec {
     assert(shuffleExchanges(p) <= 1) // the final sort only
   }
 
+  test("window_ntile: the global quartile is two-phased by acctbal" +
+      " bucket") {
+    // The last global window in the declared surface is gone: the
+    // data-sized rank must partition by the floor(acctbal) bucket
+    // (parallelism scales with the value range, not 1), and only the
+    // tiny bucket-counts frame may ride an unpartitioned window,
+    // re-attaching via broadcast — the events_concurrency contract
+    // at ntile.
+    val p = plan("window_ntile")
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("bkt")),
+      "the quartile rank regressed to a single-partition window")
+    assert(p.contains("BroadcastExchange"),
+      "the bucket offsets no longer re-attach via broadcast")
+  }
+
   test("events_retention: cohort frame and join share the user_id key") {
     // 2 hash exchanges on user_id (cohort agg + the event side of the
     // join), 1 hash on (cohort_day, offset), 1 range (final sort).
