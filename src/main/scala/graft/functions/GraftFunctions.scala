@@ -20,7 +20,8 @@ object GraftFunctions {
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => VecDot(es(0), es(1))),
     "fingerprint_hash" -> (es => expressions.FingerprintHash(es(0))),
-    "ray_cast" -> (es => expressions.RayCast(es(0), es(1), es(2))))
+    "ray_cast" -> (es => expressions.RayCast(es(0), es(1), es(2))),
+    "char_ngrams" -> (es => expressions.CharNgrams(es(0), es(1))))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -55,6 +56,30 @@ object GraftFunctions {
     aggregate(split(text, ""), lit(7L),
       (acc, c) => (acc * lit(31L) + ascii(c)) % lit(1000000007L))
   }
+
+  /** Native character n-gram array (see
+    * [[expressions.CharNgrams]]): every contiguous n-char substring
+    * of `text`, in order. One byte-stream walk + direct slices inside
+    * codegen, replacing the O(L²) `transform(sequence(...))` HOF on
+    * the corpus trigram path; requires a registration path on the
+    * session. */
+  def charNgrams(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("char_ngrams", text, lit(n))
+  }
+
+  /** The composable-`functions._` form of [[charNgrams]] — kept as
+    * the executable SPEC of the gram semantics (the equivalence spec
+    * asserts element-wise equality over the corpus and
+    * non-ASCII/short edge strings). Only defined on inputs with
+    * length(text) >= n: below that, `sequence(1, length - n + 1)`
+    * counts DOWN and the twin diverges by design (callers filter
+    * first; the native form returns an empty array). */
+  private[graft] def charNgramsHof(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions.{length, lit, sequence, transform}
+    transform(sequence(lit(1), length(text) - (n - 1)),
+      i => text.substr(i, lit(n)))
+  }
 }
 
 /** Session-extension registration: add to `spark.sql.extensions`. */
@@ -73,5 +98,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ray_cast"),
       new ExpressionInfo(classOf[expressions.RayCast].getName, "ray_cast"),
       (es: Seq[Expression]) => expressions.RayCast(es(0), es(1), es(2))))
+    ext.injectFunction((
+      FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(
+        classOf[expressions.CharNgrams].getName, "char_ngrams"),
+      (es: Seq[Expression]) => expressions.CharNgrams(es(0), es(1))))
   }
 }

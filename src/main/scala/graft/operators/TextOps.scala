@@ -406,17 +406,21 @@ object TextOps {
     // trigrams per lang by count, (n DESC, gram) tiebreak — integer
     // ordering. The top-k is the text_zipf TWO-PHASE shape: rank
     // within (lang, hash-bucket) first, so no task sorts a whole
-    // language's trigram vocabulary.
+    // language's trigram vocabulary. Trigram extraction is the NATIVE
+    // codegen'd char_ngrams expression (one byte-walk + direct
+    // slices; the transform(sequence(...)) HOF it replaced re-scanned
+    // the string per gram — O(L²) — and is kept as the executable
+    // spec in GraftFunctions.charNgramsHof / CharNgramsSpec).
     "text_char_ngrams" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val W = org.apache.spark.sql.expressions.Window
       val wBucket = W.partitionBy("lang", "bkt")
         .orderBy(col("n").desc, col("g"))
       val wLang = W.partitionBy("lang").orderBy(col("n").desc, col("g"))
       Tables.documents(s, d)
         .filter(length(col("text")) >= 3)
-        .select(col("lang"), explode(expr(
-          "transform(sequence(1, length(text) - 2)," +
-            " i -> substring(text, i, 3))")).as("g"))
+        .select(col("lang"), explode(
+          graft.functions.GraftFunctions.charNgrams(col("text"), 3)).as("g"))
         .groupBy("lang", "g").agg(count(lit(1)).as("n"))
         .withColumn("bkt", pmod(xxhash64(col("g")), lit(16L)))
         .withColumn("brk", row_number().over(wBucket))
