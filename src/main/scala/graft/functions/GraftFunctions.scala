@@ -21,7 +21,9 @@ object GraftFunctions {
     "vec_dot" -> (es => VecDot(es(0), es(1))),
     "fingerprint_hash" -> (es => expressions.FingerprintHash(es(0))),
     "ray_cast" -> (es => expressions.RayCast(es(0), es(1), es(2))),
-    "char_ngrams" -> (es => expressions.CharNgrams(es(0), es(1))))
+    "char_ngrams" -> (es => expressions.CharNgrams(es(0), es(1))),
+    "lsh_signature" ->
+      (es => expressions.LshSignature(es(0), es(1), es(2))))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -80,6 +82,17 @@ object GraftFunctions {
     transform(sequence(lit(1), length(text) - (n - 1)),
       i => text.substr(i, lit(n)))
   }
+
+  /** All hyperplane-LSH table codes of a vector in one codegen'd
+    * pass (see [[expressions.LshSignature]]): `planes` is the
+    * flattened tables×bits×dim coefficient matrix. Requires a
+    * registration path on the session. */
+  def lshSignature(embedding: Column, planes: Seq[Double],
+      tables: Int, bits: Int): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    call_function("lsh_signature", embedding, typedLit(planes),
+      typedLit(Seq(tables, bits)))
+  }
 }
 
 /** Session-extension registration: add to `spark.sql.extensions`. */
@@ -103,5 +116,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[expressions.CharNgrams].getName, "char_ngrams"),
       (es: Seq[Expression]) => expressions.CharNgrams(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("lsh_signature"),
+      new ExpressionInfo(
+        classOf[expressions.LshSignature].getName, "lsh_signature"),
+      (es: Seq[Expression]) =>
+        expressions.LshSignature(es(0), es(1), es(2))))
   }
 }

