@@ -23,7 +23,8 @@ object GraftFunctions {
     "ray_cast" -> (es => expressions.RayCast(es(0), es(1), es(2))),
     "char_ngrams" -> (es => expressions.CharNgrams(es(0), es(1))),
     "lsh_signature" ->
-      (es => expressions.LshSignature(es(0), es(1), es(2))))
+      (es => expressions.LshSignature(es(0), es(1), es(2))),
+    "simhash64" -> (es => expressions.SimHash64(es(0))))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -93,6 +94,14 @@ object GraftFunctions {
     call_function("lsh_signature", embedding, typedLit(planes),
       typedLit(Seq(tables, bits)))
   }
+
+  /** One-pass 64-bit tf-weighted SimHash over whitespace tokens (see
+    * [[expressions.SimHash64]]); the explode + twin-aggregate
+    * composable form stays as the executable spec
+    * (operators.Dedup.simhash, equality asserted in DedupSpec).
+    * Requires a registration path on the session. */
+  def simHash64(text: Column): Column =
+    call_function("simhash64", text)
 }
 
 /** Session-extension registration: add to `spark.sql.extensions`. */
@@ -122,5 +131,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[expressions.LshSignature].getName, "lsh_signature"),
       (es: Seq[Expression]) =>
         expressions.LshSignature(es(0), es(1), es(2))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(
+        classOf[expressions.SimHash64].getName, "simhash64"),
+      (es: Seq[Expression]) => expressions.SimHash64(es(0))))
   }
 }

@@ -227,9 +227,12 @@ object Dedup {
     // signature chunks (pigeonhole for hamming <= 3); emit pairs with
     // bit_count(sig1 XOR sig2) <= 3. No-oracle (signature depends on
     // Spark's xxhash64); DedupSpec pins semantics (exact dups have
-    // hamming 0; output sorted).
+    // hamming 0; output sorted; native == composable signature).
+    // Signatures come from the ONE-PASS native SimHash64 expression
+    // (round 9) — the explode + twin-aggregate form ([[simhash]])
+    // stays as the executable spec.
     "dedup_simhash" -> ((s, d) => {
-      val sigs = simhash(Tables.documents(s, d))
+      val sigs = simhashNative(s, Tables.documents(s, d))
       val chunks = sigs.select(col("doc_id"), col("sig"),
           explode(expr("transform(sequence(0, 3)," +
             " c -> struct(c AS c, shiftright(sig, c * 16) & 65535 AS v))"))
@@ -510,12 +513,25 @@ object Dedup {
       .dropDuplicates("v1", "v2")
       .orderBy("v1", "v2")
 
-  /** 64-bit SimHash per doc over whitespace tokens.
+  /** One-pass native SimHash signatures (doc_id, sig) — the declared
+    * path; [[simhash]] is its executable spec (DedupSpec asserts
+    * equality over the corpus). */
+  private[operators] def simhashNative(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    GraftFunctions.ensureRegistered(s)
+    docs.select(col("doc_id"),
+      GraftFunctions.simHash64(col("text")).as("sig"))
+  }
+
+  /** 64-bit SimHash per doc over whitespace tokens — the COMPOSABLE
+    * form, kept as the executable spec of [[simhashNative]].
     *
     * Shape: one (doc, word, cnt, hash) row per distinct term, then 64
     * per-bit weighted sums as AGG COLUMNS of a single hash aggregate
     * (not 64 exploded rows per term — that costs a 64x row blow-up
     * and a huge shuffle; columns ride the same partial agg for free).
+    * Summing tf·±1 per distinct term equals summing ±1 per
+    * occurrence, which is what the native one-pass kernel does.
     */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs

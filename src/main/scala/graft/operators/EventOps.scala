@@ -250,12 +250,6 @@ object EventOps {
         .orderBy("dow", "hod")
     }),
 
-    // Conversion LATENCY — the time-to-value metric behind the
-    // funnel counts: per converting user, whole seconds from their
-    // first view to their first strictly-later purchase. Integer-µs
-    // arithmetic end to end (`div` to seconds); one per-user agg, a
-    // user-keyed join, a second per-user agg — all on the user_id
-    // key.
     // Concurrent OPEN SESSIONS at every session boundary — the
     // "how many vessels are underway right now" curve. A GLOBAL
     // running sum has no partition key, so the naive window is the
@@ -340,6 +334,12 @@ object EventOps {
         .orderBy("user_id")
     }),
 
+    // Conversion LATENCY — the time-to-value metric behind the
+    // funnel counts: per converting user, whole seconds from their
+    // first view to their first strictly-later purchase. Integer-µs
+    // arithmetic end to end (`div` to seconds); one per-user agg, a
+    // user-keyed join, a second per-user agg — all on the user_id
+    // key.
     "events_conversion_lag" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val fv = ev.filter(col("event_type") === "view")

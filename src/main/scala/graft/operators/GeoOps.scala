@@ -392,7 +392,17 @@ object GeoOps {
     * GeoOpsSpec forces BOTH paths on the same graph. Beyond the
     * threshold the distributed loop takes over — zone graphs are
     * |zones|²-bounded, so this is the rare regime, but a 1°-grid
-    * planet (~65k zones) can exceed it. */
+    * planet (~65k zones) can exceed it.
+    *
+    * CONSTRUCTION IS AN ACTION (round-8 advice, documented
+    * contract): the `edges.count()` path decision — and on the
+    * driver path the collect + iteration — run when the query
+    * DataFrame is BUILT, not when it executes, so plan-only
+    * consumers (PlanSpec/AuditAll/PlanDump) pay the upstream
+    * pipeline here. Deliberate: the fast-path decision must bind to
+    * the actual graph size, mirroring what a broadcast-threshold
+    * planner does, and deferring it behind a lazy wrapper would move
+    * the cost without removing it. */
   private[operators] def zoneRank(edges: DataFrame, iters: Int,
       driverMaxEdges: Long = 100000L): DataFrame = {
     val outW = edges.groupBy("o_zone").agg(sum("w").as("ow"))

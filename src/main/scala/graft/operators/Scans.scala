@@ -192,12 +192,19 @@ object Scans {
     })
   )
 
-  /** Deterministic per-sf-dir scratch location for the
-    * write-then-read source queries — /tmp, never the repo or the
-    * session warehouse. Re-written (overwrite mode) on every
-    * invocation: always correct, and cheap at fixture scale. */
+  /** Per-(process, sf-dir) scratch location for the write-then-read
+    * source queries — /tmp, never the repo or the session warehouse.
+    * Re-written (overwrite mode) on every invocation: always correct,
+    * and cheap at fixture scale. The PID component isolates
+    * concurrent JVMs (parallel `sbt test` + bench runs are routine
+    * here): without it, one process's overwrite or upsert
+    * delete+rename could race another's read of the same path
+    * (round-8 advice). Stale per-PID dirs are bounded-size fixture
+    * data under /tmp — the OS reaps them. */
+  private val pid = ProcessHandle.current().pid()
   private def scratch(d: String, name: String): String =
-    s"/tmp/graft_sources/${d.replaceAll("[^A-Za-z0-9]", "_")}/$name"
+    s"/tmp/graft_sources/p$pid/" +
+      s"${d.replaceAll("[^A-Za-z0-9]", "_")}/$name"
 
   val oracles: Map[String, String] = Map(
     "scan_parquet" ->

@@ -49,6 +49,37 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted)
   }
 
+  test("native SimHash64 == composable explode/agg signature, corpus" +
+      " + edge strings") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val s = spark
+    import s.implicits._
+    // full sf0.01 corpus
+    val docs = graft.Tables.documents(spark, SparkSpec.sf001)
+    val mism = Dedup.simhash(docs)
+      .join(docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.GraftFunctions.simHash64(
+          org.apache.spark.sql.functions.col("text")).as("nsig")),
+        "doc_id")
+      .filter(org.apache.spark.sql.functions.col("sig") =!=
+        org.apache.spark.sql.functions.col("nsig"))
+      .count()
+    assert(mism == 0L, s"$mism corpus signatures diverge")
+    // edge strings: empty, consecutive/leading/trailing separators
+    // (split keeps empty tokens), single token, non-ASCII
+    val edge = Seq((1L, ""), (2L, " "), (3L, "a  b"), (4L, " x "),
+      (5L, "solo"), (6L, "数据 处理 引擎"))
+      .toDF("doc_id", "text")
+    val em = Dedup.simhash(edge)
+      .join(edge.select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.GraftFunctions.simHash64(
+          org.apache.spark.sql.functions.col("text")).as("nsig")),
+        "doc_id")
+      .collect()
+    em.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"edge doc ${r.getLong(0)}: ${r.getLong(1)} != ${r.getLong(2)}"))
+  }
+
   test("dedup_clusters: labels are component minima over the pair graph") {
     val pairs = Dedup.queries("dedup_minhash")(spark, SparkSpec.sf01)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -45,9 +45,14 @@ class RegistrySpec extends SparkSpec {
 
   // One test per query: runs + identical output across two runs
   // (catches missing total-order ORDER BY without needing DuckDB).
+  // Cache.clear between the collects (round-8 advice): the second
+  // run must REBUILD any memoized intermediate — otherwise
+  // nondeterminism upstream of a Cache point is frozen into the
+  // persisted frame and this test cannot see it.
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs deterministically on sf0.001") {
       val r1 = fn(spark, SparkSpec.sf0001).collect().map(_.toString).toSeq
+      graft.Cache.clear(spark)
       val r2 = fn(spark, SparkSpec.sf0001).collect().map(_.toString).toSeq
       assert(r1 == r2, s"$name output differs between runs")
       assert(r1.nonEmpty || mayBeEmpty(name),
