@@ -23,14 +23,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** doc_id, lang, n_chars, distinct 3-word shingles (one row each).
-    * Persisted: three dedup variants scan it (signature matrix, set
-    * sizes, exact-Jaccard verification). The slice length is clamped
+  /** Per-doc record (doc_id, lang, n_chars, distinct 3-word shingle
+    * SET as one array) — THE persisted shingle base. One exchange
+    * builds it: the explode → collect_set aggregation dedups in the
+    * same shuffle the old explode → distinct paid, and every other
+    * consumer is then row-local — minhash signatures fold
+    * array_min/transform over the set (no second groupBy over the
+    * corpus-sized shingle rows), Jaccard verification joins two set
+    * rows and intersects in place, set sizes are `size(shset)`, and
+    * the exploded row form ([[shingles]]) is a cheap explode of the
+    * persisted arrays. Round 9: this replaces the exploded-rows
+    * cache + two full groupBys over it (distinct + collect_set) that
+    * dominated the pair-build warm cost. The slice length is clamped
     * at 0 — docs under 3 whitespace tokens yield no shingles (and so
     * never appear in shingle-based dedup output) instead of crashing
     * on a negative slice length. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    graft.Cache.cached(s, d, "dedup.shingles") {
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    graft.Cache.cached(s, d, "dedup.shingleSets") {
       Tables.documents(s, d)
         .withColumn("ws", split(col("text"), " "))
         .select(col("doc_id"), col("lang"), col("n_chars"),
@@ -38,19 +47,17 @@ object Dedup {
             "transform(slice(ws, 1, greatest(size(ws) - 2, 0))," +
               " (w, i) -> concat(w, ' ', element_at(ws, i + 2), ' '," +
               " element_at(ws, i + 3)))")).as("sh"))
-        .distinct()
+        .groupBy("doc_id")
+        .agg(first("lang").as("lang"), first("n_chars").as("n_chars"),
+          collect_set(col("sh")).as("shset"))
     }
 
-  /** Per-doc distinct-shingle SET as one array row — the verify-side
-    * representation: candidate pairs broadcast-join their two set
-    * rows and compute the exact Jaccard ROW-LOCALLY
-    * (`array_intersect`), so verification costs zero exchanges
-    * beyond the candidate dedup. Persisted alongside `shingles`. */
-  private def shingleSets(s: SparkSession, d: String): DataFrame =
-    graft.Cache.cached(s, d, "dedup.shingleSets") {
-      shingles(s, d).groupBy("doc_id")
-        .agg(collect_set(col("sh")).as("shset"))
-    }
+  /** Exploded (doc_id, lang, n_chars, sh) shingle rows, derived from
+    * the persisted set frame — CPU-cheap per use, no second
+    * materialization. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shingleSets(s, d).select(col("doc_id"), col("lang"),
+      col("n_chars"), explode(col("shset")).as("sh"))
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: survivor = min doc_id per text (deterministic pick,
@@ -107,7 +114,11 @@ object Dedup {
     // materialization + re-join.
     "dedup_near" -> ((s, d) => {
       val sh = shingles(s, d)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      // Set sizes are row-local over the persisted set frame — the
+      // old groupBy(count) re-shuffled every shingle row for a number
+      // the array already knows.
+      val sizes = shingleSets(s, d)
+        .select(col("doc_id"), size(col("shset")).cast("long").as("nsh"))
       // Both sides project EVERY column to a side-unique name (sh →
       // sh1/sh2 included): a `df("sh") === df("sh")` condition on two
       // projections of one cached frame is the ambiguous-self-join
@@ -301,13 +312,16 @@ object Dedup {
 
   private def minhashPairsBuild(s: SparkSession,
       d: String): DataFrame = {
-    val sh = shingles(s, d)
-    // All 16 minhashes as agg COLUMNS of one hash aggregate over the
-    // shingle rows (hash(sh, i) = murmur3 seeded per function) — no
-    // 16x crossJoin row blow-up; the signature matrix costs one pass.
-    val mhCols = (0 until 16).map(i =>
-      min(hash(col("sh"), lit(i))).as(s"mh_$i"))
-    val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    // All 16 minhashes fold ROW-LOCALLY over the persisted per-doc
+    // set (array_min over hash(x, i) — the same murmur3-of-(value,
+    // seed-literal) the old min(hash(sh, i)) aggregate computed, so
+    // signatures are bit-identical): no exchange at all where the
+    // old shape paid a full groupBy over the corpus-sized shingle
+    // rows. No 16x row blow-up either way.
+    val mhCols: Seq[Column] = (0 until 16).map(i =>
+      expr(s"array_min(transform(shset, x -> hash(x, $i)))")
+        .as(s"mh_$i"))
+    val mh = shingleSets(s, d).select(col("doc_id") +: mhCols: _*)
     val bandStructs = (0 until 8).map(b =>
       struct(lit(b).as("band"), col(s"mh_${2 * b}").as("h0"),
         col(s"mh_${2 * b + 1}").as("h1")))

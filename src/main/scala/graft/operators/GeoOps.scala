@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.Geo
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Geo/transit queries — the reference's actual domain (AIS vessel
@@ -257,39 +257,14 @@ object GeoOps {
     }),
 
     // Origin→destination voyage flows — the literal "shipping lanes"
-    // aggregate: sessionize each vessel's reports into voyages (the
-    // geo_voyages segmentation), take each voyage's first and last
-    // 30° zone, and count voyages + distinct vessels per (origin,
-    // destination) pair. Everything up to the per-voyage collapse
-    // rides ONE user_id exchange (the voyage window is a
-    // sub-partition; the endpoint frames reuse it); the OD aggregate
-    // is zones² rows at most — tiny at any scale. INTEGER/zone-string
-    // outputs only; a single-point voyage maps to its own diagonal
-    // cell (o = d), which is meaningful (intra-zone movement), not an
-    // artifact.
-    "geo_od_matrix" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val voyFrame = Window.partitionBy("user_id", "voyage")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      withPos(Tables.events(s, d))
-        .withColumn("zone", Geo.gridCell(col("lat"), col("lon"), 30.0))
-        .withColumn("gap_us",
-          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(byUser)))
-        .withColumn("is_new",
-          when(col("gap_us").isNull
-            || col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
-        .withColumn("voyage", sum("is_new").over(byUser))
-        .withColumn("o_zone", first("zone").over(voyFrame))
-        .withColumn("d_zone", last("zone").over(voyFrame))
-        .groupBy("user_id", "voyage", "o_zone", "d_zone")
-        .agg(count(lit(1)).as("n_points"))
-        .groupBy("o_zone", "d_zone")
-        .agg(count(lit(1)).as("n_voyages"),
-          countDistinct("user_id").as("n_vessels"))
-        .orderBy("o_zone", "d_zone")
-    }),
+    // aggregate (see [[odMatrix]] for the pipeline and its scale
+    // shape). Built ONCE per session: geo_lanes_top, geo_zone_rank
+    // and geo_zone_components all consume the same persisted
+    // zones²-bounded frame instead of re-running the sessionization
+    // (round 9 — the old shape ran the full pipeline three times per
+    // bench pass).
+    "geo_od_matrix" -> ((s, d) =>
+      odMatrix(s, d).orderBy("o_zone", "d_zone")),
 
     // Convoy-clique primitive: TRIANGLE COUNTS over the co-presence
     // graph — per vessel, how many vessel-triples it belongs to where
@@ -313,12 +288,10 @@ object GeoOps {
     // geo_od_matrix; the global top-20 compiles to
     // TakeOrderedAndProject — per-partition top-k merged on the
     // driver, never a full sort of the matrix (PlanSpec pins it).
-    "geo_lanes_top" -> ((s, d) => {
-      val od = queries("geo_od_matrix")(s, d)
-      od.filter(col("o_zone") =!= col("d_zone"))
+    "geo_lanes_top" -> ((s, d) =>
+      odMatrix(s, d).filter(col("o_zone") =!= col("d_zone"))
         .orderBy(col("n_voyages").desc, col("o_zone"), col("d_zone"))
-        .limit(20)
-    }),
+        .limit(20)),
 
     // Zone IMPORTANCE over the lane network: PageRank on the OD
     // matrix (zones = nodes, voyage counts = edge weights), 10 power
@@ -331,10 +304,9 @@ object GeoOps {
     // 10-iteration lineage would otherwise recompute the whole
     // sessionization pipeline per iteration.
     "geo_zone_rank" -> ((s, d) =>
-      zoneRank(graft.Cache.cached(s, d, "geo.rankEdges")(
-        queries("geo_od_matrix")(s, d)
-          .select(col("o_zone"), col("d_zone"),
-            col("n_voyages").as("w"))), iters = 10)),
+      zoneRank(odMatrix(s, d)
+        .select(col("o_zone"), col("d_zone"),
+          col("n_voyages").as("w")), iters = 10)),
 
     // Traffic BASINS: connected components over the undirected lane
     // graph — which zones are mutually reachable by observed traffic
@@ -345,10 +317,9 @@ object GeoOps {
     // distributed min-label propagation with a convergence check
     // beyond ([[zoneComponents]]).
     "geo_zone_components" -> ((s, d) =>
-      zoneComponents(graft.Cache.cached(s, d, "geo.rankEdges")(
-        queries("geo_od_matrix")(s, d)
-          .select(col("o_zone"), col("d_zone"),
-            col("n_voyages").as("w"))))),
+      zoneComponents(odMatrix(s, d)
+        .select(col("o_zone"), col("d_zone"),
+          col("n_voyages").as("w")))),
 
     // Zone ENTRIES — how many times vessels enter each polygon zone
     // (port-call counting): per (zone, vessel) order the reports by
@@ -363,6 +334,48 @@ object GeoOps {
         .withColumn("px", col("event_id") * 104729 % 36000 - 18000),
         zonePolygons))
   )
+
+  /** The OD voyage-flow matrix (o_zone, d_zone, n_voyages,
+    * n_vessels), UNSORTED, persisted per (session, sf-dir):
+    * sessionize each vessel's reports into voyages (the geo_voyages
+    * segmentation), take each voyage's first and last 30° zone, and
+    * count voyages + distinct vessels per (origin, destination)
+    * pair. Everything up to the per-voyage collapse rides ONE
+    * user_id exchange (the voyage window is a sub-partition; the
+    * endpoint frames reuse it); the result is zones² rows at most —
+    * tiny at any scale, so the persisted frame is cheap to hold and
+    * every downstream consumer (the OD query itself, lanes-top,
+    * PageRank, components) skips the corpus-scale sessionization.
+    * A single-point voyage maps to its own diagonal cell (o = d),
+    * which is meaningful (intra-zone movement), not an artifact. */
+  private[operators] def odMatrix(s: SparkSession, d: String): DataFrame =
+    graft.Cache.cached(s, d, "geo.od")(odMatrixBuild(s, d))
+
+  /** The raw (uncached) OD pipeline — private[graft] so PlanSpec can
+    * pin its exchange discipline directly; the declared queries go
+    * through the persisted [[odMatrix]]. */
+  private[graft] def odMatrixBuild(s: SparkSession, d: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val voyFrame = Window.partitionBy("user_id", "voyage")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      withPos(Tables.events(s, d))
+        .withColumn("zone", Geo.gridCell(col("lat"), col("lon"), 30.0))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(byUser)))
+        .withColumn("is_new",
+          when(col("gap_us").isNull
+            || col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("voyage", sum("is_new").over(byUser))
+        .withColumn("o_zone", first("zone").over(voyFrame))
+        .withColumn("d_zone", last("zone").over(voyFrame))
+        .groupBy("user_id", "voyage", "o_zone", "d_zone")
+        .agg(count(lit(1)).as("n_points"))
+        .groupBy("o_zone", "d_zone")
+        .agg(count(lit(1)).as("n_voyages"),
+          countDistinct("user_id").as("n_vessels"))
+    }
 
   /** Integer-exact PageRank over a weighted edge list (o_zone,
     * d_zone, w): ranks in PARTS PER MILLION, every step integer —

@@ -88,12 +88,12 @@ object Similarity {
     math.min(48, math.max(4,
       (math.log(n / 16.0) / math.log(2)).ceil.toInt))
 
-  /** Per-table LSH bucket codes: one row per (vector, table) with
-    * columns vec_id/embedding/nsq/tbl/bucket. Signature bits come
-    * from sign(v · hyperplane), folded into one bucket BIGINT per
-    * table (64-bit arithmetic on both the build and probe side — an
-    * int shiftleft would silently overflow past 31 bits). Persisted
-    * per params.
+  /** Per-table LSH bucket codes: one NARROW row per (vector, table)
+    * with columns vec_id/tbl/bucket. Signature bits come from
+    * sign(v · hyperplane), folded into one bucket BIGINT per table
+    * (64-bit arithmetic on both the build and probe side — an int
+    * shiftleft would silently overflow past 31 bits). Persisted per
+    * params.
     *
     * ALL tables' codes come from ONE native expression over the
     * vectors (round 9, the [[graft.functions.expressions
@@ -108,7 +108,12 @@ object Similarity {
     * Same planes, same fold order, same sign test — so bucket codes,
     * candidates, and the oracle-checked dedup_embed_ann output are
     * unchanged (LshSignatureSpec asserts code equality against the
-    * vec_dot composable form). */
+    * vec_dot composable form).
+    *
+    * The index row deliberately does NOT carry the embedding: the
+    * bucket join shuffles on (tbl, bucket), and a 16-byte code row
+    * exchanges ~60× cheaper than one dragging the 64-float array —
+    * candidates re-attach vectors afterwards ([[lshCandidates]]). */
   private[operators] def lshBuckets(s: SparkSession, d: String,
       nTables: Int, bits: Int, seed: Long): DataFrame =
     Cache.cached(s, d, s"sim.lsh.$nTables.$bits.$seed") {
@@ -116,7 +121,7 @@ object Similarity {
       val flat: Seq[Double] = hyperplanes(nPlanes = nTables * bits,
         dim = 64, seed).flatMap(_._2)
       vecs(s, d)
-        .select(col("vec_id"), col("embedding"), col("nsq"),
+        .select(col("vec_id"),
           posexplode(GraftFunctions.lshSignature(
             col("embedding"), flat, nTables, bits))
             .as(Seq("tbl", "bucket")))
@@ -138,19 +143,35 @@ object Similarity {
     * multi-probe on the first `nH1` tables. Pairs colliding in
     * several tables appear once per collision — callers rank with
     * dense_rank (ann) or dedup after the cheap filter (dedup), so no
-    * wide candidate `distinct()` exchange is ever needed. */
+    * wide candidate `distinct()` exchange is ever needed.
+    *
+    * Exchange discipline (round 9): the bucket join runs over NARROW
+    * (vec_id, tbl, bucket) rows — both the probe expansion and the
+    * shuffle move 16-byte codes, not 64-float arrays — and the
+    * embeddings re-attach AFTERWARDS with two unhinted joins against
+    * the persisted vector frame. At fixture scale the planner
+    * broadcasts the ~n-row vector side and the attach stays inside
+    * one codegen stage; at cluster scale both attaches are
+    * co-partitioned hash joins on the candidate keys — the candidate
+    * set is ~tables·occupancy·probes rows per query either way, so
+    * narrow-join-then-attach strictly reduces bytes moved vs
+    * shuffling array-carrying signature rows. */
   private[operators] def lshCandidates(s: SparkSession, d: String,
       nTables: Int, bits: Int, seed: Long, nH1: Int): DataFrame = {
     val sigs = lshBuckets(s, d, nTables, bits, seed)
-    val probes = sigs.select(col("vec_id").as("v1"),
-      col("embedding").as("ea"), col("nsq").as("na"), col("tbl"),
+    val probes = sigs.select(col("vec_id").as("v1"), col("tbl"),
       explode(when(col("tbl") < nH1, probeBuckets(bits))
         .otherwise(array(col("bucket")))).as("bucket"))
     val index = sigs.select(col("vec_id").as("v2"),
-      col("embedding").as("eb"), col("nsq").as("nb"),
       col("tbl"), col("bucket"))
+    val v = vecs(s, d)
     probes.join(index, Seq("tbl", "bucket"))
       .filter(col("v1") =!= col("v2"))
+      .select("v1", "v2")
+      .join(v.select(col("vec_id").as("v1"), col("embedding").as("ea"),
+        col("nsq").as("na")), "v1")
+      .join(v.select(col("vec_id").as("v2"), col("embedding").as("eb"),
+        col("nsq").as("nb")), "v2")
   }
 
   /** Shared LSH index config: ONE persisted bucket index (LshTables
@@ -262,25 +283,51 @@ object Similarity {
   private[operators] def ivfNprobe(k: Int): Int =
     math.max(2, math.ceil(k * IvfProbeFraction).toInt)
 
-  /** The ann_ivf pipeline, parameterized for IvfSweep. */
+  /** Narrow (vec_id, pcell, pcos, prk) ranking of every vector
+    * against the FINAL centroids, persisted as the probe plan.
+    * prk = 1 IS the cell assignment (nearest centroid, ties to the
+    * lowest cell — the same tie-break `nearest`'s
+    * max_by(struct(cos, -cell)) applies), and prk <= nprobe are the
+    * probed cells, so ONE crossJoin + one window over 28-byte rows
+    * serves both sides of the probe join. Round 9: this replaces a
+    * second full `nearest` pass (crossJoin + agg + re-attach join)
+    * AND a window exchange that dragged embedding + centroid arrays
+    * (~1 KB/row) through the shuffle. */
+  private[operators] def ivfRanked(s: SparkSession, d: String, k: Int,
+      iters: Int): DataFrame =
+    Cache.cached(s, d, s"sim.ivf.ranked.$k.$iters") {
+      val means = ivfMeans(s, d, k, iters)
+      val wProbe = Window.partitionBy("vec_id")
+        .orderBy(col("pcos").desc, col("pcell"))
+      vecs(s, d).crossJoin(
+          broadcast(means.select(col("cell").as("pcell"),
+            col("centroid"), col("cnsq"))))
+        .select(col("vec_id"), col("pcell"),
+          (vecDot(col("embedding"), col("centroid"))
+            / sqrt(col("nsq") * col("cnsq"))).as("pcos"))
+        .withColumn("prk", row_number().over(wProbe))
+    }
+
+  /** The ann_ivf pipeline, parameterized for IvfSweep.
+    *
+    * Exchange discipline (round 9, same as [[lshCandidates]]): the
+    * pcell probe join runs NARROW on BOTH sides — (v1, pcell) ×
+    * (v2, pcell), 16-byte rows — and the embeddings re-attach
+    * AFTERWARDS with two unhinted joins against the vector frame,
+    * whose parquet-scan estimate the static planner can see (so they
+    * plan as broadcasts at fixture sizes without a hint, and as
+    * co-partitioned hash joins on the candidate keys at scale). The
+    * previous shape joined array-carrying rows on pcell: the planner,
+    * blind behind a filter-through-join lineage, fell back to
+    * sort-merge and paid sorts + exchanges over ~1 KB rows. */
   private[operators] def ivfTopK(s: SparkSession, d: String, k: Int,
       nprobe: Int, iters: Int): DataFrame = {
-    val (assigned, means) = ivfIndex(s, d, k, iters)
-    val wProbe = Window.partitionBy("vec_id")
-      .orderBy(col("pcos").desc, col("pcell"))
-    val probes = assigned.crossJoin(
-        broadcast(means.select(col("cell").as("pcell"),
-          col("centroid"), col("cnsq"))))
-      .withColumn("pcos",
-        vecDot(col("embedding"), col("centroid"))
-          / sqrt(col("nsq") * col("cnsq")))
-      .withColumn("prk", row_number().over(wProbe))
-      .filter(col("prk") <= nprobe)
-      .select(col("vec_id").as("v1"), col("embedding").as("ea"),
-        col("nsq").as("na"), col("pcell"))
-    val members = assigned.select(col("vec_id").as("v2"),
-      col("embedding").as("eb"), col("nsq").as("nb"),
-      col("cell").as("pcell"))
+    val ranked = ivfRanked(s, d, k, iters)
+    val v = vecs(s, d)
+    val probes = ranked.filter(col("prk") <= nprobe)
+      .select(col("vec_id").as("v1"), col("pcell"))
+    val members = ranked.filter(col("prk") === 1)
+      .select(col("vec_id").as("v2"), col("pcell"))
     val wTop = Window.partitionBy("v1")
       .orderBy(col("cos").desc, col("v2"))
     // No candidate dedup needed (unlike ann_lsh): cells PARTITION
@@ -289,6 +336,11 @@ object Similarity {
     // over the candidate set.
     probes.join(members, Seq("pcell"))
       .filter(col("v1") =!= col("v2"))
+      .select("v1", "v2")
+      .join(v.select(col("vec_id").as("v1"), col("embedding").as("ea"),
+        col("nsq").as("na")), "v1")
+      .join(v.select(col("vec_id").as("v2"), col("embedding").as("eb"),
+        col("nsq").as("nb")), "v2")
       .withColumn("cos", round(
         vecDot(col("ea"), col("eb")) / sqrt(col("na") * col("nb")), 4))
       .select("v1", "v2", "cos")
@@ -316,15 +368,28 @@ object Similarity {
       .orderBy("v1", "rk")
   }
 
-  /** IVF index build: deterministic seeds (k lowest vec_ids), then
-    * `iters` Lloyd iterations (assign to nearest centroid by cosine,
-    * recompute element-wise mean), then a final assignment against
-    * the last means. Only the FINAL index halves are persisted —
-    * intermediate iterations exist once in the build lineage and are
-    * never re-read. Returns (assignments with columns vec_id/
-    * embedding/nsq/cell, centroid means with cell/centroid/cnsq). */
+  /** IVF index halves for the sweep tools and specs: (assignments
+    * with columns vec_id/cell/embedding/nsq, centroid means with
+    * cell/centroid/cnsq). Assignments derive from [[ivfRanked]]'s
+    * prk = 1 rows — the declared query and the audited index share
+    * one ranking pass. */
   def ivfIndex(s: SparkSession, d: String, k: Int,
       iters: Int = IvfLloydIters): (DataFrame, DataFrame) = {
+    val assigned = ivfRanked(s, d, k, iters)
+      .filter(col("prk") === 1)
+      .select(col("vec_id"), col("pcell").as("cell"))
+      .join(vecs(s, d), "vec_id")
+      .select("vec_id", "cell", "embedding", "nsq")
+    (assigned, ivfMeans(s, d, k, iters))
+  }
+
+  /** Centroid means: deterministic seeds (k lowest vec_ids), then
+    * `iters` Lloyd iterations (assign to nearest centroid by cosine,
+    * recompute element-wise mean). Only the FINAL means are persisted
+    * — intermediate iterations exist once in the build lineage and
+    * are never re-read. */
+  private[operators] def ivfMeans(s: SparkSession, d: String, k: Int,
+      iters: Int = IvfLloydIters): DataFrame = {
     GraftFunctions.ensureRegistered(s)
     val v = vecs(s, d)
     // Narrow assign-aggregate: group on the key alone (hash-agg over
@@ -366,13 +431,9 @@ object Similarity {
       .select(col("cell"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centroid"))
       .withColumn("cnsq", vecDot(col("centroid"), col("centroid")))
-    val means = Cache.cached(s, d, s"sim.ivf.means.$k.$iters") {
+    Cache.cached(s, d, s"sim.ivf.means.$k.$iters") {
       (1 to iters).foldLeft(seeds)((cents, _) => meansOf(nearest(cents)))
     }
-    val assigned = Cache.cached(s, d, s"sim.ivf.assigned.$k.$iters") {
-      nearest(means)
-    }
-    (assigned, means)
   }
 
   val oracles: Map[String, String] = Map(

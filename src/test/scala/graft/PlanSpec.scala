@@ -246,10 +246,21 @@ class PlanSpec extends SparkSpec {
 
   test("geo_od_matrix: sessionization, endpoint frames, and collapse" +
       " ride ONE user exchange") {
-    // 1 hash (user_id — both voyage windows, both endpoint frames,
-    // and the (user, voyage, o, d) collapse are sub-partitions) +
-    // 1 hash (the OD agg's coarser key) + 1 range (final sort)
-    assert(shuffleExchanges(plan("geo_od_matrix")) <= 3)
+    // Pinned on the RAW builder (the declared query reads the
+    // session-persisted frame, whose explain inlines the cached
+    // lineage and double-counts): 1 hash (user_id — both voyage
+    // windows, both endpoint frames, and the (user, voyage, o, d)
+    // collapse are sub-partitions) + 1 hash (the OD agg's coarser
+    // key) + 1 range (final sort)
+    val raw = operators.GeoOps
+      .odMatrixBuild(spark, SparkSpec.sf001)
+      .orderBy("o_zone", "d_zone")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(shuffleExchanges(raw) <= 3)
+    // ... and the declared query must actually READ the shared cache
+    // (the sessionization runs once per session, not once per
+    // consumer).
+    assert(plan("geo_od_matrix").contains("InMemoryTableScan"))
   }
 
   test("events_anomaly_mad: both median windows share ONE user exchange") {
