@@ -252,6 +252,12 @@ class PlanSpec extends SparkSpec {
     // windows, both endpoint frames, and the (user, voyage, o, d)
     // collapse are sub-partitions) + 1 hash (the OD agg's coarser
     // key) + 1 range (final sort)
+    // Clear the geo session cache first: if an earlier suite warmed
+    // geo.od, CacheManager substitutes the persisted frame into this
+    // identical raw plan and the formatted explain inlines the cached
+    // lineage's exchanges (5 warm vs 3 cold) — an order-dependent
+    // count that says nothing about the engine plan.
+    graft.Cache.clear(spark, "geo.")
     val raw = operators.GeoOps
       .odMatrixBuild(spark, SparkSpec.sf001)
       .orderBy("o_zone", "d_zone")
