@@ -73,11 +73,19 @@ object Bench {
     val loadStart = loadavg()
     val probeStart = microProbe(spark)
 
+    // A throwing query must be VISIBLE in the artifact: BENCH_r10/r11
+    // recorded 59 AnalysisException costs (~0.07 s) as if they were
+    // query timings, so a breaking regression read as a speedup. A
+    // failed query is timed as NEGATIVE elapsed and its name lands in
+    // the "errors" list, so no failure can masquerade as fast.
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case _: Throwable => errors += name; false }
+      val t = (System.nanoTime() - t0) / 1e9
+      if (ok) t else -t
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -116,10 +124,13 @@ object Bench {
       kvs.map { case (k, v) => f"""\"$k\":$v%.3f""" }
         .mkString("{", ",", "}")
     val total = rep1.map(_._2).sum
+    val errJson = errors.toSeq.sorted
+      .map(n => "\"" + n + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
       s""""queries":${json(rep1)},"rep2":${json(rep2)},""" +
       f""""load_start":$loadStart%.3f,"probe_start":$probeStart%.3f,""" +
       f""""load_end":$loadEnd%.3f,"probe_end":$probeEnd%.3f,""" +
+      s""""errors":$errJson,"error_count":${errors.size},""" +
       f""""rep2_total":$rep2Total%.3f,"value":$total%.3f}""")
     spark.stop()
   }

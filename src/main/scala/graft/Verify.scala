@@ -21,6 +21,12 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Sorted order (reproducible) with shared-cache groups released
     // once their last consumer has dumped — same staging as Bench.
+    // A thrown query must be VISIBLE in the artifacts: rounds 10/11
+    // lost 59 queries to a data-format change and the only trace was
+    // stderr — the driver's correctness JSON simply had fewer entries.
+    // Collect name → first error line and dump _failed.json below so
+    // breakage shows up as a file the driver (and a human) can read.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         only.forall(_.exists(name.startsWith)) }
@@ -28,6 +34,9 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        val first = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.toSeq.headOption.getOrElse(e.getClass.getName)
+        failed += name -> first
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       if (name == "similarity_topk_per_query") Cache.clear(spark)
@@ -47,6 +56,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failedJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failed.json"), failedJson)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} queries FAILED — " +
+        s"see $outDir/_failed.json")
     spark.stop()
   }
 }

@@ -80,21 +80,29 @@ object Streams {
   }
 
   /** File-source entry: stream the events table from a directory of
-    * parquet files. The schema is pinned from a RAW batch read (ts
-    * arrives as bigint nanos under the nanosAsLong conf — pinning the
-    * post-conversion timestamp schema would mis-read the file), then
-    * the same ns→µs conversion as `Tables.events` is applied on the
-    * stream. */
+    * parquet files. The schema is pinned from a RAW batch read (the
+    * PHYSICAL schema — pinning the post-conversion timestamp schema
+    * would mis-read a bigint-nanos file), then the same per-vintage ts
+    * normalization as `Tables.events` is applied on the stream: bigint
+    * nanos → `timestamp_micros(ts div 1000)`, TIMESTAMP_NTZ →
+    * session-TZ cast, TimestampType → passthrough. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     // Session-lifetime conf flip, documented at Tables.ensureNanosAsLong.
     graft.Tables.ensureNanosAsLong(spark)
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    graft.Tables.assertSchema("events", rawSchema)
     // The file source monitors a DIRECTORY; pathGlobFilter pins it to
     // the events table within the shared scale-factor dir.
-    spark.readStream.schema(rawSchema)
+    val raw = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** 1-hour tumbling counts+sums per event type (twin of

@@ -256,8 +256,10 @@ class PlanSpec extends SparkSpec {
     // geo.od, CacheManager substitutes the persisted frame into this
     // identical raw plan and the formatted explain inlines the cached
     // lineage's exchanges (5 warm vs 3 cold) — an order-dependent
-    // count that says nothing about the engine plan.
-    graft.Cache.clear(spark, "geo.")
+    // count that says nothing about the engine plan. Exact prefix:
+    // clearing all of "geo." would also unpersist geo.coPairs and
+    // force later suites to rebuild that expensive intermediate.
+    graft.Cache.clear(spark, "geo.od")
     val raw = operators.GeoOps
       .odMatrixBuild(spark, SparkSpec.sf001)
       .orderBy("o_zone", "d_zone")

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import graft.EngineConf
+import org.apache.spark.sql.functions.col
 
 /** ANN quality AND cost: multi-table multi-probe LSH and IVF recall
   * against the brute-force twin at every fixture SF, candidate-volume
@@ -157,7 +158,10 @@ class SimilaritySpec extends SparkSpec {
       (id, c.map(x => (x + 0.15 * rng.nextGaussian()).toFloat))
     }
     val s = spark; import s.implicits._
+    // label = cluster id: keeps the fixture conformant with the
+    // embeddings table contract (Tables.assertSchema requires it).
     rows.toDF("vec_id", "embedding")
+      .withColumn("label", (col("vec_id") % 8).cast("int"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     dir
   }
