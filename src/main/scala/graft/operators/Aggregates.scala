@@ -236,8 +236,12 @@ object Aggregates {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          round(skewness(col("l_quantity")), 4).as("skew"),
-          round(kurtosis(col("l_quantity")), 4).as("kurt"))
+          // + 0.0 collapses IEEE -0.0 to +0.0: DuckDB's two-pass m3
+          // can round to -0 where Spark's one-pass rounds to +0
+          // (seen at sf0.001), and the driver compares FORMATTED
+          // values, so the sign of zero is a hash mismatch.
+          (round(skewness(col("l_quantity")), 4) + 0.0).as("skew"),
+          (round(kurtosis(col("l_quantity")), 4) + 0.0).as("kurt"))
         .orderBy("l_returnflag")),
 
     // The reshape pair to agg_pivot: melt the wide per-user type
@@ -452,8 +456,8 @@ object Aggregates {
         |  GROUP BY 1
         |)
         |SELECT l_returnflag, n,
-        |  round(m3 / pow(m2, 1.5), 4) AS skew,
-        |  round(m4 / (m2 * m2) - 3, 4) AS kurt
+        |  round(m3 / pow(m2, 1.5), 4) + 0.0 AS skew,
+        |  round(m4 / (m2 * m2) - 3, 4) + 0.0 AS kurt
         |FROM c ORDER BY l_returnflag""".stripMargin,
 
     // Long-form twin via conditional aggregation + UNION ALL melt —
