@@ -516,6 +516,49 @@ class StreamingSpec extends SparkSpec {
       "restarted LOCF stream diverges from the batch window")
   }
 
+  test("file-source STATEFUL transitions: last-seen-type state survives" +
+      " AvailableNow restarts across >= 2 file batches") {
+    // Completes the custom-state E2E matrix (all four
+    // flatMapGroupsWithState ops now run through the real directory
+    // source): a user's last event type from file batch 1 must pair
+    // with their first batch-2 event through the recovered state.
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-fsrc-trans").toString
+    val (b1, b2) = batchEvents.splitAt(batchEvents.length / 2)
+    def land(evs: Seq[Ev]): Unit =
+      evs.toDF().coalesce(1).write.mode("append").parquet(s"$base/in")
+    def run(): Unit = {
+      val src = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Ev]].schema)
+        .parquet(s"$base/in")
+      val q = Streams.statefulTransitions(src.as[EventRow]).writeStream
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    land(b1); run()
+    val afterFirst = spark.read.parquet(s"$base/out").count()
+    land(b2); run()
+    val batchMatrix = graft.operators.EventOps.queries("events_markov")(
+      spark, SparkSpec.sf0001)
+      .select("from_type", "to_type", "n")
+      .collect().map(_.mkString("|")).toSeq.sorted
+    val streamed = spark.read.parquet(s"$base/out")
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(_.mkString("|")).toSeq.sorted
+    assert(spark.read.parquet(s"$base/out").count() > afterFirst,
+      "second file batch emitted nothing")
+    assert(streamed.nonEmpty && streamed == batchMatrix,
+      "restarted transition stream diverges from the batch matrix")
+  }
+
   test("checkpointed file sink is exactly-once across restarts") {
     val base = java.nio.file.Files
       .createTempDirectory("graft-ckpt").toString
