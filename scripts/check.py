@@ -101,8 +101,24 @@ def main(sf_dir, out_dir):
 # scalar fields of the bench JSON line — everything that is NOT a
 # per-query timing (the load-evidence fields ride in the line's tail
 # so they survive the driver's front-truncation)
-_NON_QUERY_KEYS = ("value", "sf", "rep2_total",
+_NON_QUERY_KEYS = ("value", "sf", "rep2_total", "error_count",
                    "load_start", "probe_start", "load_end", "probe_end")
+
+
+def _bench_errors(path):
+    """Names of queries Bench reported as FAILED (the "errors" list,
+    present since r12; failed queries also carry NEGATIVE timings).
+    Older artifacts without the key -> empty set."""
+    import re
+    with open(path) as f:
+        rec = json.load(f)
+    parsed = rec.get("parsed")
+    if isinstance(parsed, dict):
+        return set(parsed.get("errors") or [])
+    m = re.search(r'"errors":\[([^\]]*)\]', rec.get("tail") or "")
+    if not m:
+        return set()
+    return set(re.findall(r'"([a-z0-9_]+)"', m.group(1)))
 
 
 def _bench_env(path):
@@ -192,13 +208,27 @@ def bench_history(repo_dir="."):
     else:
         print("  [probe-norm] no probe fields on one side "
               "(pre-r8 round?); rep1 compared raw")
+    # A query Bench marked FAILED (errors list / negative timing) is
+    # an AnalysisException cost, not a measurement — comparing against
+    # it would flag every post-fix round as a "regression" (the
+    # r10/r11 events breakage recorded 59 ~0.07 s fakes).
+    failed = _bench_errors(prev_p) | _bench_errors(cur_p)
+    if failed:
+        print(f"  [failed-skip] {len(failed)} queries failed in one of "
+              "the rounds; excluded from the diff: "
+              + ", ".join(sorted(failed)[:8])
+              + ("..." if len(failed) > 8 else ""))
     flags = compared = 0
     for name in sorted(set(prev1) | set(prev2)):
+        if name in failed:
+            continue
         if name in prev2 and name in cur2:
             p, c, kind = prev2[name], cur2[name], "rep2"
         elif name in prev1 and name in cur1:
             p, c, kind = prev1[name], cur1[name] / probe_ratio, "rep1"
         else:
+            continue
+        if p < 0 or c < 0:  # negative = failed-query marker
             continue
         compared += 1
         if c > 2.0 * p and c >= 1.0:
