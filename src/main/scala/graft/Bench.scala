@@ -100,10 +100,12 @@ object Bench {
     Cache.clear(spark)
     // Full SECOND pass over the whole suite (same JVM: codegen, JIT
     // and parquet footers warm; caches rebuilt fresh under the same
-    // release schedule). Its total is the suite's floor — rep1 minus
-    // one-time machinery — so the artifact itself separates plan cost
-    // from ambient host load: pass1−pass2 gap ≈ load + warmup, and a
-    // real plan regression moves BOTH totals.
+    // release schedule). Serialized per-query as "pass2" — the warm
+    // number is the one a regression diff should use: rep1 timings
+    // are distorted by cache-build attribution and JIT warmup order
+    // (8 false "regressions" flagged in r12 on rep1 data alone).
+    // pass1−pass2 gap ≈ load + warmup; a real plan regression moves
+    // BOTH passes.
     val pass2 = names.map { name =>
       val t = timed(name)
       releaseAfter.get(name)
@@ -111,7 +113,12 @@ object Bench {
       name -> t
     }
     Cache.clear(spark)
-    val rep2Total = pass2.map(_._2).sum
+    // Totals count only SUCCESSFUL timings: a failed query's negative
+    // marker must not subtract from the headline (a round with
+    // failures would otherwise look FASTER than its passing queries
+    // alone). Failures stay visible via the per-query negatives and
+    // the errors list.
+    val rep2Total = pass2.map(t => math.max(t._2, 0.0)).sum
     val loadEnd = loadavg()
     val probeEnd = microProbe(spark)
 
@@ -123,15 +130,28 @@ object Bench {
     def json(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => f"""\"$k\":$v%.3f""" }
         .mkString("{", ",", "}")
-    val total = rep1.map(_._2).sum
+    val total = rep1.map(t => math.max(t._2, 0.0)).sum
     val errJson = errors.toSeq.sorted
       .map(n => "\"" + n + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
-      s""""queries":${json(rep1)},"rep2":${json(rep2)},""" +
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
+      s""""queries":${json(rep1)},"pass2":${json(pass2)},""" +
+      s""""rep2":${json(rep2)},""" +
       f""""load_start":$loadStart%.3f,"probe_start":$probeStart%.3f,""" +
       f""""load_end":$loadEnd%.3f,"probe_end":$probeEnd%.3f,""" +
       s""""errors":$errJson,"error_count":${errors.size},""" +
-      f""""rep2_total":$rep2Total%.3f,"value":$total%.3f}""")
+      f""""rep2_total":$rep2Total%.3f,"value":$total%.3f}"""
+    println(line)
+    // The driver keeps only the last ~2000 chars of the line, which
+    // truncates the per-query maps (the r12 round diff could compare
+    // just 64/157 queries). Mirror the COMPLETE line to a sidecar
+    // file; check.py validates it against the artifact tail's
+    // surviving scalar fields (rep2_total/value) before trusting it.
+    val fullPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL.json")
+    try {
+      val w = new java.io.PrintWriter(fullPath)
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -28,6 +28,28 @@ object Tables {
 
   private def path(dir: String, name: String) = s"$dir/$name.parquet"
 
+  /** Memo of loaded (normalized, schema-checked) tables per
+    * (session, dir, name). `spark.read.parquet` without a
+    * user-supplied schema runs a 1-task footer-read JOB for schema
+    * inference, so an un-memoized loader charges every query
+    * CONSTRUCTION a scheduler roundtrip (157 queries × several
+    * tables each, per Bench/Verify run) and makes plan-only
+    * consumers (PlanSpec's zero-job construction pin) impossible.
+    * DataFrames are immutable, so handing the same instance to every
+    * caller is safe; the drift guard ([[assertSchema]]) still runs
+    * on first load per session — testdata never changes mid-session.
+    * Entries of stopped sessions are dropped on the next call (the
+    * [[Cache]] discipline; a WeakHashMap cannot work — the value
+    * references its session key via `Dataset.sparkSession`). */
+  private val memo = scala.collection.mutable.LinkedHashMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  private def loaded(s: SparkSession, dir: String, name: String)
+      (build: => DataFrame): DataFrame = memo.synchronized {
+    memo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    memo.getOrElseUpdate((s, dir, name), build)
+  }
+
   // --- schema drift detection -------------------------------------------
   // One predicate per column, deliberately GENEROUS where the engine
   // absorbs variance (any integral width; timestamp vs timestamp_ntz vs
@@ -113,10 +135,11 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     name match {
       case "events" => events(spark, dir)
-      case other =>
+      case other => loaded(spark, dir, other) {
         val df = spark.read.parquet(path(dir, other))
         assertSchema(other, df.schema)
         df
+      }
     }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
@@ -164,20 +187,21 @@ object Tables {
     *    (build.sbt, Verify, Bench), so the cast is value-preserving
     *    and output schemas stay identical across vintages.
     *  - TimestampType: already what we want. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    // Runtime-settable; must be on BEFORE the read in case the data is
-    // the ns vintage (the read itself throws without it).
-    ensureNanosAsLong(spark)
-    val raw = spark.read.parquet(path(dir, "events"))
-    assertSchema("events", raw.schema)
-    raw.schema("ts").dataType match {
-      case LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast("timestamp"))
-      case TimestampType => raw
-      case other => throw new IllegalStateException( // unreachable past assertSchema
-        s"Tables.events.ts: got ${other.sql}")
+  def events(spark: SparkSession, dir: String): DataFrame =
+    loaded(spark, dir, "events") {
+      // Runtime-settable; must be on BEFORE the read in case the data is
+      // the ns vintage (the read itself throws without it).
+      ensureNanosAsLong(spark)
+      val raw = spark.read.parquet(path(dir, "events"))
+      assertSchema("events", raw.schema)
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case TimestampType => raw
+        case other => throw new IllegalStateException( // unreachable past assertSchema
+          s"Tables.events.ts: got ${other.sql}")
+      }
     }
-  }
 }

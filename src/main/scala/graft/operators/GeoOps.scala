@@ -303,10 +303,14 @@ object GeoOps {
     // edge frame is built once and persisted ([[graft.Cache]]) — the
     // 10-iteration lineage would otherwise recompute the whole
     // sessionization pipeline per iteration.
+    // staticMaxEdges: the 30° grid admits ≤ 12·6 = 72 zones, so the
+    // OD matrix has ≤ 72² = 5,184 edges — provable with no Spark
+    // job, so building this query runs nothing (PlanSpec pins it).
     "geo_zone_rank" -> ((s, d) =>
       zoneRank(odMatrix(s, d)
         .select(col("o_zone"), col("d_zone"),
-          col("n_voyages").as("w")), iters = 10)),
+          col("n_voyages").as("w")), iters = 10,
+        staticMaxEdges = Some(72L * 72L))),
 
     // Traffic BASINS: connected components over the undirected lane
     // graph — which zones are mutually reachable by observed traffic
@@ -319,7 +323,8 @@ object GeoOps {
     "geo_zone_components" -> ((s, d) =>
       zoneComponents(odMatrix(s, d)
         .select(col("o_zone"), col("d_zone"),
-          col("n_voyages").as("w")))),
+          col("n_voyages").as("w")),
+        staticMaxEdges = Some(72L * 72L))),
 
     // Zone ENTRIES — how many times vessels enter each polygon zone
     // (port-call counting): per (zone, vessel) order the reports by
@@ -394,50 +399,47 @@ object GeoOps {
     * iteration count is a parameter so the spec can pin convergence
     * behavior.
     *
-    * BOUNDED DRIVER FAST PATH (the dedup_clusters union-find
+    * BOUNDED SINGLE-TASK FAST PATH (the dedup_clusters union-find
     * precedent — the broadcast-join tradeoff made explicit): when
-    * the weighted edge list fits comfortably on the driver
-    * (≤ `driverMaxEdges`), 10 iterations of tiny sequential Spark
-    * stages cost far more in scheduling than the arithmetic — the
-    * fixture measured 9.2 s distributed vs sub-second local. The
-    * same integer recurrence runs in plain Scala (Long `/` ==
-    * `div` on the positive ranks), so the result is bit-identical;
-    * GeoOpsSpec forces BOTH paths on the same graph. Beyond the
-    * threshold the distributed loop takes over — zone graphs are
-    * |zones|²-bounded, so this is the rare regime, but a 1°-grid
-    * planet (~65k zones) can exceed it.
+    * the weighted edge list is known small (≤ `driverMaxEdges`), 10
+    * iterations of tiny sequential Spark stages cost far more in
+    * scheduling than the arithmetic — the fixture measured 9.2 s
+    * distributed vs sub-second local. The same integer recurrence
+    * runs in plain Scala (Long `/` == `div` on the positive ranks)
+    * inside ONE `mapPartitions` task over a `coalesce(1)` of the
+    * edge frame, so the result is bit-identical AND the query stays
+    * lazy end to end; GeoOpsSpec forces BOTH paths on the same
+    * graph. Beyond the threshold the distributed loop takes over —
+    * zone graphs are |zones|²-bounded, so this is the rare regime,
+    * but a 1°-grid planet (~65k zones) can exceed it.
     *
-    * CONSTRUCTION IS AN ACTION (round-8 advice, documented
-    * contract): the `edges.count()` path decision — and on the
-    * driver path the collect + iteration — run when the query
-    * DataFrame is BUILT, not when it executes, so plan-only
-    * consumers (PlanSpec/AuditAll/PlanDump) pay the upstream
-    * pipeline here. Deliberate: the fast-path decision must bind to
-    * the actual graph size, mirroring what a broadcast-threshold
-    * planner does, and deferring it behind a lazy wrapper would move
-    * the cost without removing it. */
+    * PATH DISPATCH (round-12 advice closed the round-8 contract):
+    * when the caller can PROVE an edge-count bound from the zone
+    * universe (`staticMaxEdges` — the 30° grid admits ≤ 12·6 = 72
+    * zones, so ≤ 72² = 5,184 OD edges), the path is chosen with no
+    * Spark job and construction is plan-only (PlanSpec asserts zero
+    * jobs). Only unbounded edge sources fall back to the
+    * `edges.count()` decision — the broadcast-threshold-planner
+    * analogue, which necessarily runs a job at build time. */
   private[operators] def zoneRank(edges: DataFrame, iters: Int,
-      driverMaxEdges: Long = 100000L): DataFrame = {
-    val outW = edges.groupBy("o_zone").agg(sum("w").as("ow"))
-    val e = edges.join(outW, "o_zone")
-    if (edges.count() <= driverMaxEdges) {
-      val rows = e.select("o_zone", "d_zone", "w", "ow").collect()
-        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
-          r.getLong(3)))
-      val nodes = (rows.map(_._1) ++ rows.map(_._2)).distinct
-      var r = nodes.map(_ -> 1000000L).toMap
-      (1 to iters).foreach { _ =>
-        val s = scala.collection.mutable.Map.empty[String, Long]
-          .withDefaultValue(0L)
-        rows.foreach { case (o, dz, w, ow) => s(dz) += r(o) * w / ow }
-        r = nodes.map(z => z -> (150000L + 850000L * s(z) / 1000000L))
-          .toMap
-      }
+      driverMaxEdges: Long = 100000L,
+      staticMaxEdges: Option[Long] = None): DataFrame = {
+    val bounded = staticMaxEdges match {
+      case Some(b) => b <= driverMaxEdges
+      case None => edges.count() <= driverMaxEdges
+    }
+    if (bounded) {
       val spark = edges.sparkSession
       import spark.implicits._
-      r.toSeq.toDF("zone", "rank_ppm")
+      edges.select(col("o_zone"), col("d_zone"), col("w"))
+        .as[(String, String, Long)]
+        .coalesce(1)
+        .mapPartitions(it => localZoneRank(it, iters))
+        .toDF("zone", "rank_ppm")
         .orderBy(col("rank_ppm").desc, col("zone"))
     } else {
+      val outW = edges.groupBy("o_zone").agg(sum("w").as("ow"))
+      val e = edges.join(outW, "o_zone")
       val nodes = edges.select(col("o_zone").as("zone"))
         .unionByName(edges.select(col("d_zone").as("zone"))).distinct()
       var r = nodes.select(col("zone"), lit(1000000L).as("r"))
@@ -454,20 +456,47 @@ object GeoOps {
     }
   }
 
+  /** The integer PageRank recurrence on a fully-local edge list —
+    * the single-task body of [[zoneRank]]'s bounded path. Per-origin
+    * out-weights are rebuilt locally (all edges are in the one
+    * partition), so no upstream join is needed; every step is the
+    * same Long arithmetic as the distributed branch's `div`
+    * expressions, making the two paths bit-identical. */
+  private def localZoneRank(it: Iterator[(String, String, Long)],
+      iters: Int): Iterator[(String, Long)] = {
+    val rows = it.toArray
+    val ow = rows.groupBy(_._1).map { case (o, es) =>
+      o -> es.iterator.map(_._3).sum }
+    val nodes = (rows.map(_._1) ++ rows.map(_._2)).distinct
+    var r = nodes.map(_ -> 1000000L).toMap
+    (1 to iters).foreach { _ =>
+      val s = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      rows.foreach { case (o, dz, w) => s(dz) += r(o) * w / ow(o) }
+      r = nodes.map(z => z -> (150000L + 850000L * s(z) / 1000000L))
+        .toMap
+    }
+    nodes.iterator.map(z => z -> r(z))
+  }
+
   /** Connected components over the OD lane graph (edges = lanes with
     * o ≠ d, nodes = every zone any lane touches — a self-lane-only
     * zone is its own component). Component id = min reachable zone
     * label.
     *
-    * Two paths, [[zoneRank]]'s discipline: ≤ `driverMaxEdges` a
-    * driver union-find (zone graphs are |zones|²-bounded, so this is
-    * the common regime); beyond, distributed min-label propagation —
-    * each round one equi-join + aggregate, rounds = component
-    * diameter, per-round persist + convergence count (the
+    * Two paths, [[zoneRank]]'s discipline (including its
+    * static-bound dispatch — `staticMaxEdges` picks the path with
+    * no Spark job when the zone universe proves the bound):
+    * ≤ `driverMaxEdges` a single-task union-find over a
+    * `coalesce(1)` of the lane frame — lazy, one task, no
+    * construction-time collect; beyond, distributed min-label
+    * propagation — each round one equi-join + aggregate, rounds =
+    * component diameter, per-round persist + convergence count (the
     * dedup_clusters ccFixedPoint idiom). GeoOpsSpec forces both
     * paths equal. */
   private[operators] def zoneComponents(od: DataFrame,
-      driverMaxEdges: Long = 100000L): DataFrame = {
+      driverMaxEdges: Long = 100000L,
+      staticMaxEdges: Option[Long] = None): DataFrame = {
     val spark = od.sparkSession
     import spark.implicits._
     val lanes = od.select("o_zone", "d_zone")
@@ -478,24 +507,16 @@ object GeoOps {
       .unionByName(lanes.filter(col("o_zone") =!= col("d_zone"))
         .select(col("d_zone").as("a"), col("o_zone").as("b")))
       .distinct()
+    val bounded = staticMaxEdges match {
+      case Some(b) => b <= driverMaxEdges
+      case None => lanes.count() <= driverMaxEdges
+    }
     val labels =
-      if (lanes.count() <= driverMaxEdges) {
-        val ns = nodes.as[String].collect()
-        val parent = scala.collection.mutable.Map(ns.map(z => z -> z): _*)
-        def find(x: String): String = {
-          var r = x
-          while (parent(r) != r) r = parent(r)
-          var c = x
-          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        sym.select("a", "b").collect().foreach { row =>
-          val (ra, rb) = (find(row.getString(0)), find(row.getString(1)))
-          if (ra != rb) { // min-label union => canonical component ids
-            if (ra < rb) parent(rb) = ra else parent(ra) = rb
-          }
-        }
-        ns.map(z => (z, find(z))).toSeq.toDF("zone", "component")
+      if (bounded) {
+        lanes.as[(String, String)]
+          .coalesce(1)
+          .mapPartitions(localComponents)
+          .toDF("zone", "component")
       } else {
         var lbl = nodes.select(col("zone"), col("zone").as("lbl"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -522,6 +543,32 @@ object GeoOps {
     labels.join(sizes, "component")
       .select("zone", "component", "csize")
       .orderBy("zone")
+  }
+
+  /** Min-label union-find over a fully-local lane list — the
+    * single-task body of [[zoneComponents]]'s bounded path. Nodes =
+    * every zone any lane touches (a self-lane-only zone is its own
+    * component); component id = min reachable zone label, identical
+    * to the distributed propagation's fixed point. */
+  private def localComponents(
+      it: Iterator[(String, String)]): Iterator[(String, String)] = {
+    val lanes = it.toArray
+    val ns = (lanes.map(_._1) ++ lanes.map(_._2)).distinct
+    val parent = scala.collection.mutable.Map(ns.map(z => z -> z): _*)
+    def find(x: String): String = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    lanes.filter(l => l._1 != l._2).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // min-label union => canonical component ids
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    ns.iterator.map(z => (z, find(z)))
   }
 
   /** Bbox-prefiltered (point, zone) candidates: one row per report ×

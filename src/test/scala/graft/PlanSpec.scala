@@ -429,17 +429,52 @@ class PlanSpec extends SparkSpec {
     assert(countOf(plan("text_keywords"), "WindowGroupLimit") >= 1)
   }
 
-  test("geo_zone_rank: the fixture-scale plan is the bounded driver" +
-      " fast path") {
-    // 448 OD edges ≪ the 100k threshold, so the final frame must be
-    // a driver-computed local relation + sort — NOT the 20-exchange
-    // distributed iteration chain (9.2 s of stage scheduling for 72
-    // nodes when measured). The distributed path is exercised and
+  test("geo_zone_rank / geo_zone_components: bounded single-task" +
+      " path, and construction runs ZERO Spark jobs") {
+    // The 30° zone universe proves ≤ 72² edges ≪ the 100k threshold
+    // with no job (staticMaxEdges), so BUILDING these queries must
+    // run nothing — the round-8 "construction is an action" contract
+    // is closed (round-12 advice). The bounded path itself must be
+    // the lazy single-task recurrence (Coalesce 1 + MapPartitions),
+    // NOT the 20-exchange distributed iteration chain (9.2 s of
+    // stage scheduling for 72 nodes when measured) and NOT an eager
+    // driver collect. The distributed path is exercised and
     // equality-forced in GeoOpsSpec.
-    val p = plan("geo_zone_rank")
-    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"),
-      "zone rank no longer takes the bounded driver path at fixture scale")
-    assert(shuffleExchanges(p) <= 1) // the final sort only
+    // Pre-warm the table memo: spark.read.parquet's schema-inference
+    // footer read is a 1-task job, paid ONCE per (session, dir,
+    // table) since Tables memoizes loads — not a per-construction
+    // cost. Loading here keeps the zero-job assertion about the
+    // operators, not the catalog.
+    Tables.events(spark, SparkSpec.sf001)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (pRank, pComp) =
+      try {
+        val pr = plan("geo_zone_rank")
+        val pc = plan("geo_zone_components")
+        // The listener bus is async: give it time to drain before
+        // asserting. (A marker job is no flush anchor — under AQE
+        // even range(1).count() fans into several jobs with
+        // unrecognizable async stage names.)
+        Thread.sleep(3000)
+        assert(jobs.get() == 0,
+          s"building the zone-graph queries submitted ${jobs.get()}" +
+            " Spark job(s); construction must be plan-only")
+        (pr, pc)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    Seq("geo_zone_rank" -> pRank, "geo_zone_components" -> pComp)
+      .foreach { case (name, p) =>
+        assert(p.contains("MapPartitions"),
+          s"$name lost the bounded single-task shape")
+        assert(p.contains("Coalesce"),
+          s"$name no longer collapses the bounded graph to one task")
+      }
   }
 
   test("window_ntile: the global quartile is two-phased by acctbal" +

@@ -424,6 +424,43 @@ class GeoOpsSpec extends SparkSpec {
       "driver fast path diverges from the distributed power iteration")
   }
 
+  test("zoneRank/zoneComponents: staticMaxEdges picks the path" +
+      " against the threshold, without counting") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq(("A", "B", 1L)).toDF("o_zone", "d_zone", "w")
+    // provable bound under the threshold -> single-task recurrence
+    val fast = GeoOps.zoneRank(edges, iters = 2,
+      staticMaxEdges = Some(5184L))
+    assert(fast.queryExecution.executedPlan.toString
+      .contains("MapPartitions"),
+      "static bound under threshold must take the single-task path")
+    // bound exceeds the threshold -> distributed loop, no fast path
+    val dist = GeoOps.zoneRank(edges, iters = 2, driverMaxEdges = 10L,
+      staticMaxEdges = Some(11L))
+    assert(!dist.queryExecution.executedPlan.toString
+      .contains("MapPartitions"),
+      "static bound over threshold must take the distributed path")
+    // both dispatches agree with the count-dispatched result
+    val byCount = GeoOps.zoneRank(edges, iters = 2)
+      .collect().map(_.toString).toSeq
+    assert(fast.collect().map(_.toString).toSeq == byCount)
+    assert(dist.collect().map(_.toString).toSeq == byCount)
+    val od = Seq(("A", "B", 1L), ("F", "F", 2L))
+      .toDF("o_zone", "d_zone", "w")
+    val cFast = GeoOps.zoneComponents(od, staticMaxEdges = Some(5184L))
+    assert(cFast.queryExecution.executedPlan.toString
+      .contains("MapPartitions"))
+    val cDist = GeoOps.zoneComponents(od, driverMaxEdges = 1L,
+      staticMaxEdges = Some(2L))
+    assert(!cDist.queryExecution.executedPlan.toString
+      .contains("MapPartitions"))
+    val cByCount = GeoOps.zoneComponents(od)
+      .collect().map(_.toString).toSeq
+    assert(cFast.collect().map(_.toString).toSeq == cByCount)
+    assert(cDist.collect().map(_.toString).toSeq == cByCount)
+  }
+
   test("zoneComponents: driver union-find equals distributed" +
       " min-label propagation; hand-built basins are exact") {
     val s = spark
