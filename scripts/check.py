@@ -298,7 +298,104 @@ def bench_history(repo_dir="."):
     return flags
 
 
+def sweep(testdata_root="/root/testdata", sfs=("0.001", "0.01", "0.1")):
+    """The un-skippable 3-SF oracle gate: run Verify + the DuckDB
+    compare at every scale factor in one command. Every cross-engine
+    hazard so far (geo_headings bearing ties, window_pct .5 ties,
+    events_anomaly_mad HALF_UP tie, the agg_higher_moments -0.0 skew)
+    surfaced at a NON-graded SF first — the driver grades only
+    sf0.01, so a single-SF check is a false green. Returns nonzero
+    if any SF had a failure."""
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    summaries = []
+    total_fails = 0
+    for sf in sfs:
+        sf_dir = os.path.join(testdata_root, f"sf{sf}")
+        out = f"/tmp/graft_sweep_sf{sf}"
+        print(f"=== sweep sf{sf}: Verify -> {out} ===", flush=True)
+        r = subprocess.run(
+            ["sbt", "-batch", f"runMain graft.Verify {sf_dir} {out}"],
+            cwd=repo, capture_output=True, text=True)
+        if r.returncode != 0:
+            lines = (r.stdout + r.stderr).strip().splitlines()
+            print("  Verify FAILED; last output:")
+            for l in lines[-15:]:
+                print("   ", l)
+            summaries.append(f"sf{sf}: VERIFY ERROR")
+            total_fails += 1
+            continue
+        failed_marker = os.path.join(out, "_failed.json")
+        if os.path.exists(failed_marker):
+            with open(failed_marker) as f:
+                broken = json.load(f)
+            if broken:
+                print(f"  _failed.json: {len(broken)} queries threw: "
+                      + ", ".join(sorted(broken)[:8]))
+        rc = main(sf_dir, out)
+        total_fails += rc
+        summaries.append(f"sf{sf}: {'OK' if rc == 0 else 'FAIL'}")
+    print("== sweep:", "; ".join(summaries), "==")
+    return total_fails
+
+
+def determinism(dir_a, dir_b):
+    """Diff two Verify dumps of the same suite (SURVEY §5's
+    determinism test at bench scale): every query's dump must contain
+    the same rows IN THE SAME ORDER across runs. Catches order
+    instability that the single-run oracle compare cannot (a
+    non-total ORDER BY can pass the sorted-rows compare yet flip rows
+    between runs under real shuffle parallelism).
+
+    NOT a raw byte-diff: parquet-mr serializes each column chunk's
+    `encodings` SET in enum-identity-hash order, which varies per JVM
+    run — measured r13: every file's footer bytes permute the
+    encoding list ([0,4,3] vs [3,4,0]) while lengths and all data
+    pages match. So the compare is order-preserving CONTENT equality
+    via pyarrow (schema + values + row order). Part filenames embed
+    task UUIDs, so files are matched per query dir (each dump is
+    coalesced to one part). Returns the mismatch count."""
+    import glob as g
+    import pyarrow.parquet as pq
+    qa = {d for d in os.listdir(dir_a)
+          if os.path.isdir(os.path.join(dir_a, d))}
+    qb = {d for d in os.listdir(dir_b)
+          if os.path.isdir(os.path.join(dir_b, d))}
+    bad = 0
+    for name in sorted(qa ^ qb):
+        print(f"  [DIFF] {name}: present in only one run")
+        bad += 1
+    same = 0
+    for name in sorted(qa & qb):
+        pa = sorted(g.glob(os.path.join(dir_a, name, "part-*.parquet")))
+        pb = sorted(g.glob(os.path.join(dir_b, name, "part-*.parquet")))
+        if len(pa) != 1 or len(pb) != 1:
+            print(f"  [DIFF] {name}: expected exactly one part file, "
+                  f"got {len(pa)} vs {len(pb)}")
+            bad += 1
+            continue
+        ta, tb = pq.read_table(pa[0]), pq.read_table(pb[0])
+        if ta.schema != tb.schema:
+            print(f"  [DIFF] {name}: schemas differ across runs")
+            bad += 1
+        elif not ta.equals(tb):  # includes ROW ORDER
+            first = next((i for i in range(min(ta.num_rows, tb.num_rows))
+                          if ta.slice(i, 1) != tb.slice(i, 1)), None)
+            print(f"  [DIFF] {name}: {ta.num_rows} vs {tb.num_rows} "
+                  f"rows, first differing row {first} — "
+                  "non-deterministic dump (tighten the ORDER BY?)")
+            bad += 1
+        else:
+            same += 1
+    print(f"== determinism: {same} order-identical, {bad} differ ==")
+    return bad
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--bench-history":
         sys.exit(1 if bench_history(*(sys.argv[2:3] or ["."])) else 0)
+    if len(sys.argv) > 1 and sys.argv[1] == "--sweep":
+        sys.exit(1 if sweep(*(sys.argv[2:3] or [])) else 0)
+    if len(sys.argv) > 1 and sys.argv[1] == "--determinism":
+        sys.exit(1 if determinism(sys.argv[2], sys.argv[3]) else 0)
     sys.exit(main(sys.argv[1], sys.argv[2]))

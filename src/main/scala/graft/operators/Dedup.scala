@@ -511,7 +511,7 @@ object Dedup {
     labels
   }
 
-  /** The dedup_embed_ann pipeline, parameterized so the LshSweep tool
+  /** The dedup_embed_ann pipeline, parameterized so the AnnSweep tool
     * can measure pair coverage of candidate configs with the exact
     * code the declared query runs. */
   private[operators] def embedAnnPairs(s: SparkSession, d: String,

@@ -179,7 +179,7 @@ object Similarity {
     * dedup_embed_ann; only the probe policy (how many tables get
     * Hamming-1 multi-probe) differs per query, and probing is a
     * query-side choice that needs no index rebuild. Constants
-    * MEASURED by the LshSweep tool on the fixtures (isotropic vectors
+    * MEASURED by the AnnSweep tool on the fixtures (isotropic vectors
     * — the adversarial case; see class doc): at sf0.1 (n=2000) this
     * config gives ann recall@3 = 0.932 at 1493 directed candidates
     * per query — below the 1999 a brute-force scan pays, and constant
@@ -243,7 +243,7 @@ object Similarity {
     // deterministic seeds, index persisted), probe each query's
     // nearest cells, exact cosine inside probed cells, top-3.
     // No-oracle (approximate); SimilaritySpec asserts recall ≥ 0.9
-    // AND the probed fraction. Constants measured by IvfSweep on the
+    // AND the probed fraction. Constants measured by AnnSweep on the
     // fixtures (isotropic — the adversarial case; see class doc).
     "ann_ivf" -> ((s, d) => {
       val n = EngineConf.parquetRowCount(s, s"$d/embeddings.parquet")
@@ -260,7 +260,7 @@ object Similarity {
 
   /** Probed-cell budget: the fraction of cells scanned per query —
     * the IVF cost knob (work/query ≈ IvfProbeFraction · n). Measured
-    * by IvfSweep: the smallest fraction with recall@3 ≥ 0.9 (with
+    * by AnnSweep: the smallest fraction with recall@3 ≥ 0.9 (with
     * margin) at every fixture SF. SimilaritySpec pins BOTH recall and
     * this bound.
     *
@@ -308,7 +308,7 @@ object Similarity {
         .withColumn("prk", row_number().over(wProbe))
     }
 
-  /** The ann_ivf pipeline, parameterized for IvfSweep.
+  /** The ann_ivf pipeline, parameterized for AnnSweep.
     *
     * Exchange discipline (round 9, same as [[lshCandidates]]): the
     * pcell probe join runs NARROW on BOTH sides — (v1, pcell) ×
@@ -350,7 +350,7 @@ object Similarity {
       .orderBy("v1", "rk")
   }
 
-  /** The ann_lsh pipeline, parameterized so the LshSweep tool can
+  /** The ann_lsh pipeline, parameterized so the AnnSweep tool can
     * measure recall/cost of candidate configs against the exact same
     * code the declared query runs. */
   private[operators] def annTopK(s: SparkSession, d: String,

@@ -44,6 +44,84 @@ class TablesSpec extends SparkSpec {
     assert(diff.isEmpty, "ns-vintage decode diverged from NTZ-vintage decode")
   }
 
+  test("events.ts: true parquet TIMESTAMP(NANOS) vintage exercises the" +
+      " nanosAsLong path end to end") {
+    // The bigint-nanos test above stores ts as a PLAIN int64, which
+    // Spark reads as LongType with or without the conf — it pins the
+    // LongType dispatch branch but not the conf that makes real ≤r9
+    // files readable at all (round-12 advice). This fixture carries
+    // the actual TIMESTAMP(NANOS) logical annotation, written with
+    // parquet's example API (Spark itself cannot write ns).
+    val dir = tmpdir()
+    val rows = Seq( // (event_id, ns-instant) incl. a sub-µs remainder
+      (1L, 1700000000_000000000L), (2L, 1700000101_123456789L),
+      (3L, 1700000202_999999999L))
+    writeNanosEvents(s"$dir/events.parquet", rows)
+    // The annotation must be REAL: without the legacy conf, Spark
+    // refuses the column (the PARQUET_TYPE_ILLEGAL class of error) —
+    // proving this fixture, unlike plain int64, goes through the
+    // nanosAsLong seam.
+    val k = "spark.sql.legacy.parquet.nanosAsLong"
+    val had = spark.conf.getOption(k)
+    spark.conf.unset(k)
+    val refused =
+      try intercept[Throwable] {
+        spark.read.parquet(s"$dir/events.parquet").schema
+      }
+      finally had.foreach(spark.conf.set(k, _))
+    assert(refused.getMessage.toUpperCase.contains("ILLEGAL")
+      || refused.getMessage.contains("NANOS"),
+      s"expected an illegal-parquet-type refusal, got: $refused")
+    // Through the loader: conf flipped on, ns truncated to µs.
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType == TimestampType)
+    val got = ev.select("event_id", "ts").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    // DuckDB-identical truncation: ns div 1000 -> µs (ms here for
+    // java.sql.Timestamp.getTime, which floors the same way).
+    val exp = rows.map { case (id, ns) => id -> ns / 1000000L }.toMap
+    assert(got == exp, s"ns decode mismatch: $got vs $exp")
+  }
+
+  /** Write an events.parquet whose ts column is INT64 annotated
+    * TIMESTAMP(NANOS, isAdjustedToUTC=false) — the arrow
+    * `timestamp[ns]` physical form of the ≤r9 testdata — using the
+    * parquet-hadoop example writer on Spark's own classpath. */
+  private def writeNanosEvents(file: String,
+      rows: Seq[(Long, Long)]): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64).as(LogicalTypeAnnotation.timestampType(false,
+        LogicalTypeAnnotation.TimeUnit.NANOS)).named("ts")
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType())
+      .named("event_type")
+      .required(DOUBLE).named("value")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType())
+      .named("props")
+      .named("events")
+    val out = org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file),
+      spark.sparkContext.hadoopConfiguration)
+    val writer = ExampleParquetWriter.builder(out)
+      .withType(schema).build()
+    val gf = new SimpleGroupFactory(schema)
+    try rows.foreach { case (id, ns) =>
+      val g = gf.newGroup()
+      g.add("event_id", id)
+      g.add("ts", ns)
+      g.add("user_id", id % 7)
+      g.add("event_type", "click")
+      g.add("value", 1.5)
+      g.add("props", "{}")
+      writer.write(g)
+    } finally writer.close()
+  }
+
   test("schema drift: wrong-typed column fails loud with table.column and types") {
     val dir = tmpdir()
     // events with ts as STRING — not a supported vintage.

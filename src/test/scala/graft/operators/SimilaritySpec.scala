@@ -67,7 +67,7 @@ class SimilaritySpec extends SparkSpec {
     // fraction · n. Pin it so a future retune can't silently drift
     // back toward exhaustive probing; the 0.6 value itself is the
     // measured floor for recall 0.9 on this isotropic fixture
-    // (IvfSweep — no cluster structure to exploit).
+    // (AnnSweep — no cluster structure to exploit).
     assert(Similarity.IvfProbeFraction <= 0.6)
     allSfs.foreach { sf =>
       val n = EngineConf.parquetRowCount(spark, s"$sf/embeddings.parquet")
