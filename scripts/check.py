@@ -339,6 +339,41 @@ def sweep(testdata_root="/root/testdata", sfs=("0.001", "0.01", "0.1")):
     return total_fails
 
 
+def snapshot_bench(repo_dir="."):
+    """Start-of-round step: the driver's end-of-round Bench run leaves
+    its untruncated line in BENCH_FULL.json, which the NEXT local
+    bench run would overwrite. If it matches the newest BENCH_r*.json
+    artifact (the same rep2_total/value anchors _bench_full checks),
+    persist it as BENCH_FULL_r{N}.json so warm pass2 data survives
+    per round. Idempotent; returns 0 on snapshot-or-already, 1 when
+    no validated sidecar exists."""
+    import glob
+    import re
+    paths = sorted(
+        glob.glob(os.path.join(repo_dir, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)))
+    if not paths:
+        print("snapshot-bench: no driver BENCH artifacts")
+        return 0
+    newest = paths[-1]
+    rnum = re.search(r"r(\d+)", os.path.basename(newest)).group(1)
+    dst = os.path.join(repo_dir, f"BENCH_FULL_r{rnum}.json")
+    if os.path.exists(dst):
+        print(f"snapshot-bench: {os.path.basename(dst)} already exists")
+        return 0
+    full = _bench_full(newest)
+    if full is None:
+        print("snapshot-bench: no sidecar matches "
+              f"{os.path.basename(newest)} (pre-r13 round, or the "
+              "sidecar was overwritten before snapshotting)")
+        return 1
+    with open(dst, "w") as f:
+        json.dump(full, f)
+    print(f"snapshot-bench: wrote {os.path.basename(dst)} "
+          f"({len(full.get('pass2') or {})} warm pass2 entries)")
+    return 0
+
+
 def determinism(dir_a, dir_b):
     """Diff two Verify dumps of the same suite (SURVEY §5's
     determinism test at bench scale): every query's dump must contain
@@ -398,4 +433,6 @@ if __name__ == "__main__":
         sys.exit(1 if sweep(*(sys.argv[2:3] or [])) else 0)
     if len(sys.argv) > 1 and sys.argv[1] == "--determinism":
         sys.exit(1 if determinism(sys.argv[2], sys.argv[3]) else 0)
+    if len(sys.argv) > 1 and sys.argv[1] == "--snapshot-bench":
+        sys.exit(snapshot_bench(*(sys.argv[2:3] or ["."])))
     sys.exit(main(sys.argv[1], sys.argv[2]))
