@@ -406,35 +406,26 @@ object Dedup {
     // Small-graph fast path — the SAME decision a broadcast join
     // makes: when the pair graph is below a bounded threshold (1M
     // edges ≈ 16 MB of longs, the autoBroadcastJoinThreshold scale),
-    // a driver-side union-find replaces ~2·log(diameter) distributed
+    // a single-task union-find replaces ~2·log(diameter) distributed
     // jobs whose per-job overhead dominates at this size (measured:
     // the sf0.1 graph is 47 nodes, yet the loop's ~7 rounds cost
-    // ~5 s of pure job scheduling). Near-dup pair graphs are sparse
-    // BY CONSTRUCTION (banding emits rare candidates), so even a
-    // 100-TB corpus often lands here; past the threshold the
+    // ~5 s of pure job scheduling). The union-find runs LAZILY in
+    // one mapPartitions task over a coalesce(1) of the edge frame
+    // (the zoneRank r13 discipline — formerly an eager driver
+    // collect at construction); only the threshold count() remains a
+    // build-time job, and near-dup pair counts are corpus-dependent,
+    // so no static bound can replace it here. Near-dup pair graphs
+    // are sparse BY CONSTRUCTION (banding emits rare candidates), so
+    // even a 100-TB corpus often lands here; past the threshold the
     // distributed pointer-jump below runs unchanged (spec-covered by
     // forcing localSolveMaxEdges = 0).
     if (edges.count() <= localSolveMaxEdges) {
-      val es = edges.select(col("a").cast("long"), col("b").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent(r) != r) r = parent(r)
-        var c = x
-        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
-        r
-      }
-      es.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a)
-        parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra < rb) parent(rb) = ra
-        else if (rb < ra) parent(ra) = rb
-      }
       val s = edges.sparkSession
       import s.implicits._
-      return parent.keys.toSeq.sorted.map(n => (n, find(n)))
+      return edges.select(col("a").cast("long"), col("b").cast("long"))
+        .as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions(localUnionFind)
         .toDF("n", "lbl")
     }
     // Initialization WITH the first propagation step fused in: every
@@ -509,6 +500,31 @@ object Dedup {
     // Returned (and possibly re-persisted by Cache) while still
     // holding the final round's blocks — an extra persist is a no-op.
     labels
+  }
+
+  /** Min-label union-find over a fully-local edge list — the
+    * single-task body of [[ccFixedPoint]]'s bounded path. Emits
+    * every node with its component minimum, sorted by node (the
+    * order the eager driver version produced). */
+  private def localUnionFind(
+      it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val es = it.toArray
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    parent.keys.toSeq.sorted.iterator.map(n => (n, find(n)))
   }
 
   /** The dedup_embed_ann pipeline, parameterized so the AnnSweep tool
