@@ -55,8 +55,9 @@ class ConstructionSpec extends SparkSpec {
         // A whitelisted construction may submit ASYNC jobs (AQE
         // stages of its count/write) that would otherwise land in
         // the NEXT query's attribution window — give them time to
-        // arrive inside this one.
-        if (whitelisted.contains(name)) Thread.sleep(500)
+        // arrive inside this one (generous: a loaded box can delay
+        // the async pool well past the quiet-box latency).
+        if (whitelisted.contains(name)) Thread.sleep(1500)
         windows += ((name, t0, System.currentTimeMillis()))
       }
       Thread.sleep(3000) // drain the async listener bus
