@@ -154,6 +154,18 @@ class TablesSpec extends SparkSpec {
     assert(Tables.region(spark, dir).count() == 5)
   }
 
+  test("table loads are memoized per (session, dir, name)") {
+    // The r13 warm-floor win: spark.read.parquet's schema inference
+    // is a 1-task job, so an un-memoized loader charges every query
+    // CONSTRUCTION a scheduler roundtrip. Same instance back = no
+    // re-read, no job; a different dir still loads (and drift-checks)
+    // fresh.
+    assert(Tables.lineitem(spark, sf0001) eq Tables.lineitem(spark, sf0001))
+    assert(Tables.events(spark, sf0001) eq Tables.events(spark, sf0001))
+    assert(!(Tables.lineitem(spark, SparkSpec.sf001)
+      eq Tables.lineitem(spark, sf0001)))
+  }
+
   test("all ten tables load under the schema assertion on real testdata") {
     Tables.names.foreach { n =>
       assert(Tables.table(spark, sf0001, n).count() > 0, s"table $n")
