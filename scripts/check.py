@@ -283,9 +283,9 @@ def bench_history(repo_dir="."):
             p, c, kind = prev1[name], cur1[name] / probe_ratio, "rep1"
         else:
             continue
-        kinds[kind] = kinds.get(kind, 0) + 1
         if p < 0 or c < 0:  # negative = failed-query marker
             continue
+        kinds[kind] = kinds.get(kind, 0) + 1
         compared += 1
         if c > 2.0 * p and c >= 1.0:
             print(f"  [REGRESSION] {name} ({kind}): {p:.2f}s -> {c:.2f}s"
