@@ -477,6 +477,21 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("dedup_clusters: bounded component labeling is the lazy" +
+      " single-task path, not an eager collect") {
+    // ConstructionSpec whitelists this query's threshold count, so a
+    // regression from the lazy mapPartitions union-find back to a
+    // driver collect would slip through it — the plan shape is the
+    // pin: the labeling must appear as MapPartitions over a
+    // Coalesce, and an eager version would show a LocalTableScan /
+    // ExistingRDD of pre-computed labels instead.
+    val p = plan("dedup_clusters")
+    assert(p.contains("MapPartitions"),
+      "bounded union-find lost the lazy single-task shape")
+    assert(!p.contains("LocalTableScan"),
+      "labels are driver-precomputed again (eager collect regression)")
+  }
+
   test("window_ntile: the global quartile is two-phased by acctbal" +
       " bucket") {
     // The last global window in the declared surface is gone: the
