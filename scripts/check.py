@@ -210,10 +210,25 @@ def _bench_queries(path):
     head, p2mark, after_p2 = head.partition('"pass2":{')
     pass2 = grab(after_p2) if p2mark else {}
     # anchor at the queries map when the marker survived truncation;
-    # otherwise treat the head's first match as possibly clipped
+    # otherwise the head's first match is possibly clipped — and its
+    # ATTRIBUTION depends on the line vintage. r13 lines carried
+    # queries→pass2→rep2 back to back (~7.5 kB), so a 2000-char tail
+    # starts MID-PASS2 with both markers clipped away: those entries
+    # are warm pass2 timings, and keying them as rep1 (cold) would
+    # feed them through probe normalization as false speedups — the
+    # exact failure class the pass2 serialization was built to kill.
+    # Pre-r13 lines had no pass2 map, so their clipped head really is
+    # rep1. r14+ lines are short (maps live in the sidecar) and parse
+    # whole, so this fallback shouldn't trigger for them at all.
     _, qmark, after_q = head.partition('"queries":{')
-    head_q = grab(after_q) if qmark else grab(head, truncated_front=True)
-    return (head_q, pass2, grab(rest))
+    if qmark:
+        return (grab(after_q), pass2, grab(rest))
+    m = re.search(r"r(\d+)", os.path.basename(path))
+    rnum = int(m.group(1)) if m else 0
+    entries = grab(head, truncated_front=True)
+    if rnum >= 13 and not p2mark:
+        return ({}, {**entries, **pass2}, grab(rest))
+    return (entries, pass2, grab(rest))
 
 
 def bench_history(repo_dir="."):
@@ -358,15 +373,30 @@ def snapshot_bench(repo_dir="."):
     newest = paths[-1]
     rnum = re.search(r"r(\d+)", os.path.basename(newest)).group(1)
     dst = os.path.join(repo_dir, f"BENCH_FULL_r{rnum}.json")
-    if os.path.exists(dst):
-        print(f"snapshot-bench: {os.path.basename(dst)} already exists")
-        return 0
+    # _bench_full prefers the per-round snapshot and validates its
+    # rep2_total/value anchors against the artifact tail, so this is
+    # the GATE form: absent-or-mismatching snapshot with no recovery
+    # source returns nonzero, and an existing-but-stale snapshot is
+    # rewritten from the source that does validate rather than
+    # silently trusted.
     full = _bench_full(newest)
     if full is None:
-        print("snapshot-bench: no sidecar matches "
-              f"{os.path.basename(newest)} (pre-r13 round, or the "
-              "sidecar was overwritten before snapshotting)")
+        print("snapshot-bench: GATE FAIL — no sidecar validates "
+              f"against {os.path.basename(newest)} (pre-r13 round, or "
+              "the sidecar was overwritten before snapshotting)")
         return 1
+    if os.path.exists(dst):
+        try:
+            with open(dst) as f:
+                cur = json.load(f)
+        except Exception:
+            cur = None
+        if cur == full:
+            print(f"snapshot-bench: {os.path.basename(dst)} already "
+                  "exists and validates against the artifact anchors")
+            return 0
+        print(f"snapshot-bench: {os.path.basename(dst)} exists but "
+              "does NOT match the validating source — rewriting")
     with open(dst, "w") as f:
         json.dump(full, f)
     print(f"snapshot-bench: wrote {os.path.basename(dst)} "

@@ -124,34 +124,46 @@ object Bench {
 
     // 3-dp floats keep the line short, and the headline total goes
     // LAST: harnesses that keep only the tail of a long line still
-    // see it (and a shorter line parses whole more often). The load
-    // evidence (loadavg + fixed micro-probe, start/end) sits in the
-    // tail for the same reason — the driver clips the line's FRONT.
+    // see it (and a shorter line parses whole more often).
     def json(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => f"""\"$k\":$v%.3f""" }
         .mkString("{", ",", "}")
     val total = rep1.map(t => math.max(t._2, 0.0)).sum
     val errJson = errors.toSeq.sorted
       .map(n => "\"" + n + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
-      s""""queries":${json(rep1)},"pass2":${json(pass2)},""" +
-      s""""rep2":${json(rep2)},""" +
+    // The driver keeps only the last ~2000 chars of stdout: r13's
+    // line carried both full 157-entry per-query maps (~7.5 kB), so
+    // the front was clipped and the artifact's "parsed" came back
+    // null. Split the contract: the PRINTED line holds only what a
+    // truncation-proof artifact needs (scale/rep2 warm top-10, load
+    // + probe evidence, errors, and the rep2_total/value anchors) and
+    // stays well under the capture budget so it parses whole; the
+    // full rep1/pass2 maps ride ONLY in the sidecar, which check.py
+    // trusts after matching the anchors in the artifact tail.
+    val tailFields =
       f""""load_start":$loadStart%.3f,"probe_start":$probeStart%.3f,""" +
       f""""load_end":$loadEnd%.3f,"probe_end":$probeEnd%.3f,""" +
       s""""errors":$errJson,"error_count":${errors.size},""" +
       f""""rep2_total":$rep2Total%.3f,"value":$total%.3f}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
+      s""""rep2":${json(rep2)},""" + tailFields
     println(line)
-    // The driver keeps only the last ~2000 chars of the line, which
-    // truncates the per-query maps (the r12 round diff could compare
-    // just 64/157 queries). Mirror the COMPLETE line to a sidecar
-    // file; check.py validates it against the artifact tail's
-    // surviving scalar fields (rep2_total/value) before trusting it.
+    val fullLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
+      s""""queries":${json(rep1)},"pass2":${json(pass2)},""" +
+      s""""rep2":${json(rep2)},""" + tailFields
     val fullPath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL.json")
     try {
       val w = new java.io.PrintWriter(fullPath)
-      try w.println(line) finally w.close()
-    } catch { case _: Throwable => () }
+      try w.println(fullLine) finally w.close()
+    } catch {
+      // A silently-missing sidecar downgrades check.py to its weakest
+      // fallback with no signal anywhere — make the failure cost one
+      // visible stderr line in the bench log.
+      case t: Throwable => System.err.println(
+        s"Bench: sidecar write to $fullPath FAILED (${t.getClass.getSimpleName}: " +
+          s"${t.getMessage}) — BENCH_FULL will be absent for this run")
+    }
     spark.stop()
   }
 }

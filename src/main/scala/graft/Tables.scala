@@ -29,25 +29,44 @@ object Tables {
   private def path(dir: String, name: String) = s"$dir/$name.parquet"
 
   /** Memo of loaded (normalized, schema-checked) tables per
-    * (session, dir, name). `spark.read.parquet` without a
+    * (session, dir, name, file-mtime). `spark.read.parquet` without a
     * user-supplied schema runs a 1-task footer-read JOB for schema
     * inference, so an un-memoized loader charges every query
     * CONSTRUCTION a scheduler roundtrip (157 queries × several
     * tables each, per Bench/Verify run) and makes plan-only
     * consumers (PlanSpec's zero-job construction pin) impossible.
     * DataFrames are immutable, so handing the same instance to every
-    * caller is safe; the drift guard ([[assertSchema]]) still runs
-    * on first load per session — testdata never changes mid-session.
-    * Entries of stopped sessions are dropped on the next call (the
-    * [[Cache]] discipline; a WeakHashMap cannot work — the value
-    * references its session key via `Dataset.sparkSession`). */
+    * caller is safe. The drift guard ([[assertSchema]]) runs on first
+    * load per (session, file-vintage): the mtime in the key is a
+    * cheap stat that invalidates the entry when the fixture is
+    * REGENERATED mid-session (a recurring event in this repo), so a
+    * schema-changing regeneration costs one readable error instead of
+    * surviving as a stale memo until session restart.
+    * Entries of stopped sessions (and superseded vintages of a
+    * regenerated path) are dropped on the next call (the [[Cache]]
+    * discipline; a WeakHashMap cannot work — the value references its
+    * session key via `Dataset.sparkSession`).
+    * Locking: the global monitor only guards map surgery; the build
+    * itself (which runs the inference job) executes under the ENTRY's
+    * own latch (`lazy val`), so concurrent first-loads of different
+    * tables don't serialize on one global lock. */
+  private final class Entry(build0: => DataFrame) {
+    lazy val df: DataFrame = build0
+  }
   private val memo = scala.collection.mutable.LinkedHashMap
-    .empty[(SparkSession, String, String), DataFrame]
+    .empty[(SparkSession, String, String, Long), Entry]
 
   private def loaded(s: SparkSession, dir: String, name: String)
-      (build: => DataFrame): DataFrame = memo.synchronized {
-    memo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    memo.getOrElseUpdate((s, dir, name), build)
+      (build: => DataFrame): DataFrame = {
+    val mtime = new java.io.File(path(dir, name)).lastModified()
+    val entry = memo.synchronized {
+      memo.filterInPlace { case ((sess, d, n, m), _) =>
+        !sess.sparkContext.isStopped &&
+          !(sess == s && d == dir && n == name && m != mtime)
+      }
+      memo.getOrElseUpdate((s, dir, name, mtime), new Entry(build))
+    }
+    entry.df
   }
 
   // --- schema drift detection -------------------------------------------

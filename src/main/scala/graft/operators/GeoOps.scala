@@ -303,14 +303,16 @@ object GeoOps {
     // edge frame is built once and persisted ([[graft.Cache]]) — the
     // 10-iteration lineage would otherwise recompute the whole
     // sessionization pipeline per iteration.
-    // staticMaxEdges: the 30° grid admits ≤ 12·6 = 72 zones, so the
-    // OD matrix has ≤ 72² = 5,184 edges — provable with no Spark
-    // job, so building this query runs nothing (PlanSpec pins it).
+    // staticMaxEdges: DERIVED from the same cellDeg the OD pipeline
+    // bins with ([[zoneCount]] squared) — provable with no Spark
+    // job, so building this query runs nothing (PlanSpec pins it),
+    // and refining the grid cannot silently leave a stale bound
+    // that forces a huge graph onto the single-task path.
     "geo_zone_rank" -> ((s, d) =>
       zoneRank(odMatrix(s, d)
         .select(col("o_zone"), col("d_zone"),
           col("n_voyages").as("w")), iters = 10,
-        staticMaxEdges = Some(72L * 72L))),
+        staticMaxEdges = Some(odMaxEdges))),
 
     // Traffic BASINS: connected components over the undirected lane
     // graph — which zones are mutually reachable by observed traffic
@@ -324,7 +326,7 @@ object GeoOps {
       zoneComponents(odMatrix(s, d)
         .select(col("o_zone"), col("d_zone"),
           col("n_voyages").as("w")),
-        staticMaxEdges = Some(72L * 72L))),
+        staticMaxEdges = Some(odMaxEdges))),
 
     // Zone ENTRIES — how many times vessels enter each polygon zone
     // (port-call counting): per (zone, vessel) order the reports by
@@ -353,6 +355,33 @@ object GeoOps {
     * PageRank, components) skips the corpus-scale sessionization.
     * A single-point voyage maps to its own diagonal cell (o = d),
     * which is meaningful (intra-zone movement), not an artifact. */
+  /** Grid size the OD pipeline bins with — the single source the
+    * static edge bound below is derived from. */
+  private[graft] val odCellDeg: Double = 30.0
+
+  /** Upper bound on distinct [[Geo.gridCell]] zones at `cellDeg`:
+    * counts every floor index lat ∈ [-90, 90] / lon ∈ [-180, 180]
+    * can produce, INCLUSIVE of both endpoints (floor(90/c) is
+    * reachable at lat = 90 exactly). Conservative — e.g. 7·13 = 91
+    * at 30° vs the 72 interior cells — but derived, so refining the
+    * grid (1° ≈ 65k zones) moves the bound with it instead of
+    * leaving a stale constant that "proves" a huge graph bounded. */
+  private[graft] def zoneCount(cellDeg: Double): Long = {
+    def span(halfRange: Double): Long =
+      math.floor(halfRange / cellDeg).toLong -
+        math.floor(-halfRange / cellDeg).toLong + 1L
+    span(90.0) * span(180.0)
+  }
+
+  /** Provable OD edge-universe bound: zones². 91² = 8,281 at the 30°
+    * grid — under [[zoneRank]]'s 100k single-task threshold; at a 1°
+    * grid this evaluates to ~4.3e9 and correctly forces the
+    * distributed path (GeoOpsSpec pins both dispatch directions). */
+  private[graft] def odMaxEdges: Long = {
+    val z = zoneCount(odCellDeg)
+    z * z
+  }
+
   private[operators] def odMatrix(s: SparkSession, d: String): DataFrame =
     graft.Cache.cached(s, d, "geo.od")(odMatrixBuild(s, d))
 
@@ -366,7 +395,7 @@ object GeoOps {
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       withPos(Tables.events(s, d))
-        .withColumn("zone", Geo.gridCell(col("lat"), col("lon"), 30.0))
+        .withColumn("zone", Geo.gridCell(col("lat"), col("lon"), odCellDeg))
         .withColumn("gap_us",
           unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(byUser)))
         .withColumn("is_new",

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.GraftTestBus
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 
 /** Suite-wide pin: building a query returns a LAZY plan — no Spark
@@ -8,6 +9,15 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
   * job per un-memoized read, charged to every construction), and the
   * zone-graph ops dropped their eager driver fast paths; this spec
   * keeps the property from decaying one query at a time.
+  *
+  * Attribution is DETERMINISTIC (round-14, closing the round-13
+  * advice): after each construction the listener bus is drained with
+  * `waitUntilEmpty` before the job queue is sliced, so every
+  * recorded job belongs to the query just built — no wall-clock
+  * windows, no fixed sleeps, no load-dependent flakiness. (Job
+  * SUBMISSION is synchronous inside any construction-time action —
+  * count()/write() return only when their jobs finish — so draining
+  * delivery is the only async edge.)
   *
   * The whitelist is every query whose construction RUNS something by
   * documented design, each with the reason. Anything else submitting
@@ -37,38 +47,32 @@ class ConstructionSpec extends SparkSpec {
     // once-per-session catalog cost, not a per-construction one.
     Tables.names.foreach(n => Tables.table(spark, SparkSpec.sf001, n))
     val jobs =
-      new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        jobs.add((js.time,
-          js.stageInfos.headOption.map(_.name).getOrElse("?")))
+        jobs.add(js.stageInfos.headOption.map(_.name).getOrElse("?"))
         ()
       }
     }
+    def drained(): Int = {
+      GraftTestBus.waitUntilEmpty(spark.sparkContext)
+      jobs.size
+    }
     spark.sparkContext.addSparkListener(listener)
-    val windows =
-      scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     try {
-      SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
-        val t0 = System.currentTimeMillis()
-        SparkEntry.queries(name)(spark, SparkSpec.sf001)
-        // A whitelisted construction may submit ASYNC jobs (AQE
-        // stages of its count/write) that would otherwise land in
-        // the NEXT query's attribution window — give them time to
-        // arrive inside this one (generous: a loaded box can delay
-        // the async pool well past the quiet-box latency).
-        if (whitelisted.contains(name)) Thread.sleep(1500)
-        windows += ((name, t0, System.currentTimeMillis()))
-      }
-      Thread.sleep(3000) // drain the async listener bus
-      val seen = jobs.toArray(Array.empty[(Long, String)])
-      val offenders = windows.flatMap { case (name, t0, t1) =>
-        val mine = seen.filter(j => j._1 >= t0 && j._1 <= t1)
-        if (mine.nonEmpty && !whitelisted.contains(name))
-          Some(s"$name (${mine.length} job(s): " +
-            mine.map(_._2.takeWhile(_ != '\n')).mkString("; ") + ")")
-        else None
-      }
+      drained() // flush anything in flight from the pre-warm
+      val offenders =
+        SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+          val before = drained()
+          SparkEntry.queries(name)(spark, SparkSpec.sf001)
+          val after = drained()
+          val mine = jobs.toArray(Array.empty[String])
+            .slice(before, after)
+          if (mine.nonEmpty && !whitelisted.contains(name))
+            Some(s"$name (${mine.length} job(s): " +
+              mine.map(_.takeWhile(_ != '\n')).mkString("; ") + ")")
+          else None
+        }
       assert(offenders.isEmpty,
         "queries ran Spark jobs at CONSTRUCTION (lazy-plan contract):\n  "
           + offenders.mkString("\n  "))

@@ -166,6 +166,29 @@ class TablesSpec extends SparkSpec {
       eq Tables.lineitem(spark, sf0001)))
   }
 
+  test("table memo invalidates when the fixture is regenerated in place") {
+    // Mid-session testdata regeneration is a recurring event in this
+    // repo (the r10/r11 vintage flip): the memo keys on the parquet
+    // path's mtime (one cheap stat per lookup), so a regenerated
+    // fixture re-loads and re-runs the drift check instead of
+    // surviving as a stale entry until session restart.
+    val dir = tmpdir()
+    val p = s"$dir/region.parquet"
+    spark.read.parquet(s"$sf0001/region.parquet")
+      .write.mode("overwrite").parquet(p)
+    val first = Tables.region(spark, dir)
+    assert(first.count() == 5)
+    spark.read.parquet(s"$sf0001/region.parquet").limit(3)
+      .write.mode("overwrite").parquet(p)
+    // force a distinct mtime: a fast overwrite can land in the same
+    // filesystem timestamp granule
+    val f = new java.io.File(p)
+    assert(f.setLastModified(f.lastModified() + 2000))
+    val second = Tables.region(spark, dir)
+    assert(!(second eq first), "stale memo entry survived regeneration")
+    assert(second.count() == 3)
+  }
+
   test("all ten tables load under the schema assertion on real testdata") {
     Tables.names.foreach { n =>
       assert(Tables.table(spark, sf0001, n).count() > 0, s"table $n")
