@@ -80,6 +80,122 @@ class DedupSpec extends SparkSpec {
       s"edge doc ${r.getLong(0)}: ${r.getLong(1)} != ${r.getLong(2)}"))
   }
 
+  test("dedup_simhash: hamming tracks exact shingle Jaccard on " +
+      "near-dup pairs derived from real corpus texts, at 2 SFs") {
+    // The r13 verdict asked for a QUANTITATIVE hamming↔Jaccard
+    // invariant beyond the 8 hamming-0 exact pairs. The fixture has
+    // no partial near-dups (word-salad: texts are either identical
+    // or unrelated), so the near-dup pairs are CONSTRUCTED from real
+    // corpus texts: each sampled doc gets deterministic variants with
+    // a fraction p of tokens replaced from the corpus's own
+    // vocabulary, spanning the full Jaccard range. Exact Jaccard is
+    // the dedup_near definition (distinct word-3-gram shingles);
+    // hamming is the shipped one-pass SimHash64.
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val shingleJac = expr(
+      """size(array_intersect(sh_a, sh_b)) /
+        |cast(size(sh_a) + size(sh_b)
+        |     - size(array_intersect(sh_a, sh_b)) as double)""".stripMargin)
+    def shingleSet(c: String) = expr(
+      s"""array_distinct(transform(sequence(1, size($c) - 2),
+         |  i -> concat_ws(' ', $c[i-1], $c[i], $c[i+1])))""".stripMargin)
+    Seq(SparkSpec.sf001, SparkSpec.sf01).foreach { sf =>
+      val docs = graft.Tables.documents(spark, sf)
+      val sample = docs.filter(col("doc_id") % 3 === 0)
+        .select("doc_id", "text").limit(150).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val vocab = sample.flatMap(_._2.split(" ")).distinct.sorted
+      val rates = Seq(0.02, 0.05, 0.1, 0.2, 0.4, 0.7)
+      val variants = sample.flatMap { case (id, text) =>
+        val toks = text.split(" ")
+        rates.zipWithIndex.map { case (p, i) =>
+          val rnd = new scala.util.Random(id * 131 + i) // deterministic
+          val nt = toks.map(t =>
+            if (rnd.nextDouble() < p) vocab(rnd.nextInt(vocab.length))
+            else t)
+          (id, p, text, nt.mkString(" "))
+        }
+      }
+      val s2 = spark
+      import s2.implicits._
+      val measured = variants.toSeq
+        .toDF("doc_id", "rate", "ta", "tb")
+        .withColumn("wa", split(col("ta"), " "))
+        .withColumn("wb", split(col("tb"), " "))
+        .withColumn("sh_a", shingleSet("wa"))
+        .withColumn("sh_b", shingleSet("wb"))
+        .withColumn("jac", shingleJac)
+        .withColumn("hamming", bit_count(
+          graft.functions.GraftFunctions.simHash64(col("ta"))
+            .bitwiseXOR(
+              graft.functions.GraftFunctions.simHash64(col("tb")))))
+        .select("rate", "jac", "hamming")
+        .as[(Double, Double, Int)].collect()
+      // 1. monotone in the perturbation rate: mean hamming per rate
+      // bucket strictly increases (a signature that ignored text
+      // similarity would be flat).
+      val byRate = rates.map(p =>
+        p -> measured.filter(_._1 == p).map(_._3.toDouble))
+        .map { case (p, hs) => p -> hs.sum / hs.length }
+      info(s"$sf mean hamming by rate: " + byRate
+        .map { case (p, h) => f"$p%.2f->$h%.1f" }.mkString("  "))
+      byRate.sliding(2).foreach { case Seq((p1, h1), (p2, h2)) =>
+        assert(h2 > h1,
+          f"mean hamming not increasing: rate $p1%.2f=$h1%.2f vs "
+            + f"$p2%.2f=$h2%.2f at $sf")
+      }
+      // 2. rank correlation jac vs hamming strongly negative.
+      def ranks(xs: Array[Double]): Array[Double] = {
+        val idx = xs.zipWithIndex.sortBy(_._1)
+        val out = new Array[Double](xs.length)
+        idx.zipWithIndex.foreach { case ((_, i), r) => out(i) = r }
+        out
+      }
+      val jacR = ranks(measured.map(_._2))
+      val hamR = ranks(measured.map(_._3.toDouble))
+      val n = measured.length
+      val mj = jacR.sum / n; val mh = hamR.sum / n
+      val cov = jacR.zip(hamR).map { case (a, b) =>
+        (a - mj) * (b - mh) }.sum
+      val sj = math.sqrt(jacR.map(a => (a - mj) * (a - mj)).sum)
+      val sh = math.sqrt(hamR.map(b => (b - mh) * (b - mh)).sum)
+      val spearman = cov / (sj * sh)
+      info(f"$sf spearman(jac, hamming) = $spearman%.3f over $n pairs")
+      assert(spearman <= -0.6,
+        f"hamming does not track Jaccard: spearman=$spearman%.3f at $sf")
+      // 3. the operator's hamming <= 3 emission threshold captures
+      // high-Jaccard pairs: among constructed pairs with jac >= 0.9,
+      // a large majority sit at hamming <= 3 (ties the threshold to
+      // Jaccard semantics instead of only exact copies).
+      val hi = measured.filter(_._2 >= 0.9)
+      val hiCaught = hi.count(_._3 <= 3)
+      info(s"$sf jac>=0.9 pairs: ${hi.length}, hamming<=3: $hiCaught")
+      assert(hi.nonEmpty, s"no constructed pairs reached jac 0.9 at $sf")
+      assert(hiCaught.toDouble / hi.length >= 0.85,
+        s"only $hiCaught/${hi.length} jac>=0.9 pairs at hamming<=3 ($sf)")
+      // 4. separation: unrelated real pairs (adjacent sample docs)
+      // sit far above the near-dup band — the threshold cannot
+      // drown in word-salad vocabulary overlap.
+      val unrel = sample.sliding(2).collect {
+        case Array((_, t1), (i2, t2)) if t1 != t2 => (i2, t1, t2)
+      }.toSeq
+      val unrelHam = unrel
+        .toDF("id", "ta", "tb")
+        .withColumn("hamming", bit_count(
+          graft.functions.GraftFunctions.simHash64(col("ta"))
+            .bitwiseXOR(
+              graft.functions.GraftFunctions.simHash64(col("tb")))))
+        .select("hamming").as[Int].collect()
+      val unrelMean = unrelHam.map(_.toDouble).sum / unrelHam.length
+      info(f"$sf unrelated-pair hamming: mean $unrelMean%.1f "
+        + s"min ${unrelHam.min}")
+      assert(unrelMean >= 15.0,
+        f"unrelated corpus pairs too close: mean hamming $unrelMean%.1f")
+      assert(unrelHam.count(_ <= 3) == 0,
+        "an unrelated pair landed inside the emission threshold")
+    }
+  }
+
   test("dedup_clusters: labels are component minima over the pair graph") {
     val pairs = Dedup.queries("dedup_minhash")(spark, SparkSpec.sf01)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
