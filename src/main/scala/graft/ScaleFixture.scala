@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic ~Nx scale-up of the three pipeline tables
+  * (events, documents, embeddings) under the SAME distributions the
+  * driver's sf0.1 fixtures exhibit — the local stand-in for an sf1
+  * regeneration, used by [[ScalingBench]] to measure empirical
+  * scaling curves (the r13 verdict's top next-round item).
+  *
+  * Scaling axes are chosen to match how each corpus would really
+  * grow, so the measured slopes test the ENGINE, not a fixture
+  * artifact:
+  *
+  *  - events: MORE HISTORY, same density — copy k of N shifts ts by
+  *    k·31 days and offsets event_id by k·n (positions derive from
+  *    event_id, so copies scatter independently across the globe;
+  *    users keep their ids, so each vessel's track gets N× longer —
+  *    the AIS growth axis). Time-bucketed and per-user ops must
+  *    scale linearly on this axis; density-quadratic ops (pair
+  *    counting within a zone-time bucket) must NOT blow up, because
+  *    density is constant.
+  *  - documents: FRESH texts from the measured vocabulary, length,
+  *    and (lang, source) distributions, with the dup-pair rate
+  *    preserved (8 per 5000 → 8N per 5000N). Replicating texts
+  *    verbatim would instead create dup clusters of size N — a 90%
+  *    dup-rate corpus nothing downstream should be sized for.
+  *  - embeddings: fresh unit 64-d isotropic vectors (the measured
+  *    per-dim sd 0.125 = 1/√64 and norm 1.0), labels uniform 0–9.
+  *    Threshold ops (cos ≥ 0.45) are then quadratic in n BY
+  *    GEOMETRY (random extremes: 144 pairs at n=2000 → ~100× at
+  *    10×); SCALING.md reports output-normalized slopes for those.
+  *
+  * Usage: runMain graft.ScaleFixture <srcDir> <dstDir> [factor=10]
+  */
+object ScaleFixture {
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    events(spark, src, dst, factor)
+    documents(spark, src, dst, factor)
+    embeddings(spark, src, dst, factor)
+    println(s"ScaleFixture: wrote events/documents/embeddings x$factor "
+      + s"to $dst")
+    spark.stop()
+  }
+
+  private def events(spark: SparkSession, src: String, dst: String,
+      factor: Int): Unit = {
+    val ev = Tables.events(spark, src)
+    val n = ev.count()
+    val shards = spark.range(factor).select(col("id").as("shard"))
+    ev.crossJoin(shards)
+      .select(
+        (col("event_id") + col("shard") * n).as("event_id"),
+        expr("timestampadd(DAY, cast(shard * 31 as int), ts)").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/events.parquet")
+  }
+
+  private def documents(spark: SparkSession, src: String, dst: String,
+      factor: Int): Unit = {
+    val docs = Tables.documents(spark, src)
+    val texts = docs.select("text").collect().map(_.getString(0))
+    val vocabW = texts.flatMap(_.split(" "))
+      .groupBy(identity).view.mapValues(_.length).toSeq.sortBy(_._1)
+    val vocab = vocabW.map(_._1).toArray
+    val cum = vocabW.map(_._2.toLong).scanLeft(0L)(_ + _).tail.toArray
+    val totW = cum.last
+    val lengths = texts.map(_.split(" ").length)
+    val langSrc = docs.select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val nBase = texts.length
+    val nNew = nBase * factor
+    val nDups = math.max(1, (8.0 * nNew / 5000).round.toInt)
+    def pickWord(rnd: scala.util.Random): String = {
+      val t = (rnd.nextDouble() * totW).toLong
+      val i = java.util.Arrays.binarySearch(cum, t + 1)
+      vocab(if (i >= 0) i else -i - 1)
+    }
+    val rows = (0 until nNew).map { id =>
+      val rnd = new scala.util.Random(1000003L * id + 17)
+      val text =
+        if (id >= nNew - nDups) {
+          // dup tail: copy an earlier GENERATED doc's text verbatim
+          val srcId = id - (nNew - nDups)
+          val r2 = new scala.util.Random(1000003L * srcId + 17)
+          val l = lengths(r2.nextInt(lengths.length))
+          (0 until l).map(_ => pickWord(r2)).mkString(" ")
+        } else {
+          val l = lengths(rnd.nextInt(lengths.length))
+          (0 until l).map(_ => pickWord(rnd)).mkString(" ")
+        }
+      val (lang, source) = langSrc(rnd.nextInt(langSrc.length))
+      (id.toLong, text, lang, source, text.length.toLong)
+    }
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(16)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/documents.parquet")
+  }
+
+  private def embeddings(spark: SparkSession, src: String, dst: String,
+      factor: Int): Unit = {
+    val n = Tables.embeddings(spark, src).count().toInt * factor
+    val rows = (0 until n).map { id =>
+      val rnd = new scala.util.Random(7919L * id + 31)
+      val raw = Array.fill(64)(rnd.nextGaussian())
+      val norm = math.sqrt(raw.map(x => x * x).sum)
+      (id.toLong, raw.map(x => (x / norm).toFloat).toSeq,
+        rnd.nextInt(10).toLong)
+    }
+    spark.createDataFrame(rows)
+      .toDF("vec_id", "embedding", "label")
+      .repartition(8)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/embeddings.parquet")
+  }
+}
