@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
   *    counting within a zone-time bucket) must NOT blow up, because
   *    density is constant.
   *  - documents: FRESH texts from the measured vocabulary, length,
-  *    and (lang, source) distributions, with the dup-pair rate
-  *    preserved (8 per 5000 → 8N per 5000N). Replicating texts
-  *    verbatim would instead create dup clusters of size N — a 90%
-  *    dup-rate corpus nothing downstream should be sized for.
+  *    and (lang, source) distributions, with BOTH planted-dup rates
+  *    preserved: exact copies (8 per 5000) and near-dup copies with
+  *    a single-token insertion/deletion (measured at sf0.1: 248
+  *    further minhash pairs at jac ≥ 0.8, len delta ±1, chains
+  *    allowed — dedup_clusters covers 477 docs there). Replicating
+  *    texts verbatim would instead create dup clusters of size N —
+  *    a 90% dup-rate corpus nothing downstream should be sized for.
   *  - embeddings: fresh unit 64-d isotropic vectors (the measured
   *    per-dim sd 0.125 = 1/√64 and norm 1.0), labels uniform 0–9.
   *    Threshold ops (cos ≥ 0.45) are then quadratic in n BY
@@ -84,25 +87,34 @@ object ScaleFixture {
       .map(r => (r.getString(0), r.getString(1)))
     val nBase = texts.length
     val nNew = nBase * factor
-    val nDups = math.max(1, (8.0 * nNew / 5000).round.toInt)
+    val nExact = math.max(1, (8.0 * nNew / 5000).round.toInt)
+    val nNear = math.max(1, (248.0 * nNew / 5000).round.toInt)
     def pickWord(rnd: scala.util.Random): String = {
       val t = (rnd.nextDouble() * totW).toLong
       val i = java.util.Arrays.binarySearch(cum, t + 1)
       vocab(if (i >= 0) i else -i - 1)
     }
+    // fresh docs first, then the planted tails: near-dup copies
+    // (single-token insert/delete of an earlier doc — sources drawn
+    // from everything generated so far, so chains arise naturally,
+    // as measured), then exact copies.
+    val built = scala.collection.mutable.ArrayBuffer.empty[String]
     val rows = (0 until nNew).map { id =>
       val rnd = new scala.util.Random(1000003L * id + 17)
       val text =
-        if (id >= nNew - nDups) {
-          // dup tail: copy an earlier GENERATED doc's text verbatim
-          val srcId = id - (nNew - nDups)
-          val r2 = new scala.util.Random(1000003L * srcId + 17)
-          val l = lengths(r2.nextInt(lengths.length))
-          (0 until l).map(_ => pickWord(r2)).mkString(" ")
+        if (id >= nNew - nExact) {
+          built(rnd.nextInt(nNew - nExact - nNear))
+        } else if (id >= nNew - nExact - nNear) {
+          val src = built(rnd.nextInt(id)).split(" ").toBuffer
+          if (rnd.nextBoolean() && src.length > 10)
+            src.remove(rnd.nextInt(src.length))
+          else src.insert(rnd.nextInt(src.length + 1), pickWord(rnd))
+          src.mkString(" ")
         } else {
           val l = lengths(rnd.nextInt(lengths.length))
           (0 until l).map(_ => pickWord(rnd)).mkString(" ")
         }
+      built += text
       val (lang, source) = langSrc(rnd.nextInt(langSrc.length))
       (id.toLong, text, lang, source, text.length.toLong)
     }
