@@ -126,6 +126,51 @@ class ShapeInvarianceSpec extends SparkSpec {
       s"shuffle.partitions is NOT reaching the executed plan:\n  A=$a\n  B=$b")
   }
 
+  // The sf0.001 sweep above is VACUOUS for queries whose output is
+  // empty at that scale (RegistrySpec.mayBeEmpty): an empty result is
+  // trivially shape-invariant. Re-prove those on the smallest SF
+  // where they return rows — the geo pair family and the banded join
+  // at sf0.01 (79 co-presence pairs / 3 banded suppliers), and the
+  // WHOLE dedup family at sf0.1, the only SF with planted duplicates
+  // (FIXTURES.md: 8 exact pairs, 248 near-dup edits). Dedup matters
+  // most here: LSH banding, pair-graph build and component labeling
+  // are exactly where bucket-boundary and accumulation-order bugs
+  // would hide. One pass per shape for the family (not per query)
+  // so the shared pair-graph/signature caches build twice total.
+  private val sf001Families =
+    Seq("geo_co_presence", "geo_meeting_streaks", "geo_triangles",
+      "join_range_banded")
+  sf001Families.foreach { name =>
+    test(s"$name is invariant to cluster shape (sf0.01, rows > 0)") {
+      graft.Cache.clear(spark)
+      def go() = SparkEntry.queries(name)(spark, SparkSpec.sf001)
+        .collect().map(norm).toSeq
+      val a = withShape("4", (128L << 20).toString)(go())
+      graft.Cache.clear(spark)
+      val b = withShape("13", (64L << 10).toString)(go())
+      assert(a.nonEmpty, s"$name empty at sf0.01 — test is vacuous")
+      assert(a == b, s"$name differs across cluster shapes at sf0.01")
+    }
+  }
+
+  test("dedup family is invariant to cluster shape (sf0.1, planted dups)") {
+    val family = SparkEntry.queries.keys.filter(_.startsWith("dedup_"))
+      .toSeq.sorted
+    def pass(): Map[String, Seq[String]] = {
+      graft.Cache.clear(spark)
+      family.map(n => n -> SparkEntry.queries(n)(spark, SparkSpec.sf01)
+        .collect().map(norm).toSeq).toMap
+    }
+    val a = withShape("4", (128L << 20).toString)(pass())
+    val b = withShape("13", (64L << 10).toString)(pass())
+    val empty = family.filter(a(_).isEmpty)
+    assert(empty.isEmpty,
+      s"empty at sf0.1 (vacuous for shape invariance): $empty")
+    val diffs = family.filter(n => a(n) != b(n))
+    assert(diffs.isEmpty,
+      s"dedup queries differ across cluster shapes at sf0.1: $diffs")
+  }
+
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"$name is invariant to cluster shape") {
       graft.Cache.clear(spark)
