@@ -660,18 +660,27 @@ object TextOps {
       .orderBy("doc_id")
 
   /** Distinct 5-word shingles per doc — text_contamination's shared
-    * midpoint (docs under 5 tokens contribute nothing). */
+    * midpoint (docs under 5 tokens contribute nothing).
+    *
+    * The distinct is PER-DOC (doc_id rides in every row), so it
+    * needs no exchange: `array_distinct` dedups inside the per-doc
+    * shingle array before the explode. The `.distinct()` this
+    * replaces (through round 13) hash-shuffled every (doc_id,
+    * 5-word-string) pair — measured 5.7 MB / 270k records at sf0.1,
+    * ~4x the corpus text and the single biggest shuffle in the text
+    * family; this form's remaining shuffles are the narrow per-doc
+    * count aggregates and the rare matched rows
+    * (ShuffleVolumeSpec pins the ceiling). */
   private[operators] def shingles5(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 5)
       .select(col("doc_id"), explode(expr(
-        "transform(slice(ws, 1, size(ws) - 4)," +
+        "array_distinct(transform(slice(ws, 1, size(ws) - 4)," +
           " (w, i) -> concat_ws(' ', w, element_at(ws, i + 2)," +
           " element_at(ws, i + 3), element_at(ws, i + 4)," +
-          " element_at(ws, i + 5)))")).as("sh"))
-      .distinct()
+          " element_at(ws, i + 5))))")).as("sh"))
 
   /** text_contamination's body (benchmark membership: doc_id %
     * benchMod == 0), package-visible for fixture-level spec proofs. */

@@ -98,6 +98,21 @@ class ShuffleVolumeSpec extends SparkSpec {
     assert(sb < 16 * 1024, s"scan_projection shuffled $sb B")
   }
 
+  test("text_contamination never shuffles shingle strings") {
+    // Through r13 the shared shingle frame was built with a
+    // .distinct() that hash-shuffled every (doc_id, 5-word-string)
+    // pair — 5.7 MB / 270k records at sf0.1, ~4x the corpus text.
+    // The dedup is per-doc, so array_distinct now does it inside the
+    // map task; what still shuffles is the narrow per-doc count
+    // aggregate and the rare matched rows. Measured after: the pin
+    // sits far below the old string-shuffle floor, so a regression
+    // that reintroduces a corpus-sized exchange fails here.
+    val (b, r) = shuffleOf("text_contamination")
+    assert(b < corpusTextBytes / 2 && r < 60000,
+      s"text_contamination shuffled $b B / $r records (corpus " +
+        s"$corpusTextBytes B) — a corpus-sized shingle exchange is back")
+  }
+
   test("dedup_minhash candidate verify shuffle is bounded by candidates") {
     // Measured: 3.98 MB / 5004 records — signatures (16x8 B), band
     // keys, and ONLY the candidate texts for the exact-Jaccard
