@@ -254,14 +254,17 @@ object TextOps {
     // planner strengthens this further by compiling rn ≤ 10 into
     // WindowGroupLimit nodes on BOTH sides of the window exchange
     // (per-partition top-10 pre-filter before the sort — PlanSpec
-    // pins it). The df agg and the sample branch each re-derive the
-    // distinct (term, doc) frame with their own exchange; the join
-    // of the two term-keyed results is left unhinted (vocabulary-
-    // sized sides — planner broadcasts at fixture scale only).
+    // pins it). The (term, doc) dedup key contains doc_id, so the
+    // dedup is per-doc and array_distinct does it INSIDE the map
+    // task (no exchange — the .distinct() this replaces shuffled the
+    // full token volume once before the term-keyed shuffles the df
+    // agg and the window each still need). The join of the two
+    // term-keyed results is left unhinted (vocabulary-sized sides —
+    // planner broadcasts at fixture scale only).
     "text_postings" -> ((s, d) => {
       val td = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("term"), col("doc_id"))
-        .distinct()
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("term"))
       val dfreq = td.groupBy("term").agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("term").orderBy("doc_id")
