@@ -288,24 +288,36 @@ object Similarity {
     * prk = 1 IS the cell assignment (nearest centroid, ties to the
     * lowest cell — the same tie-break `nearest`'s
     * max_by(struct(cos, -cell)) applies), and prk <= nprobe are the
-    * probed cells, so ONE crossJoin + one window over 28-byte rows
-    * serves both sides of the probe join. Round 9: this replaces a
-    * second full `nearest` pass (crossJoin + agg + re-attach join)
-    * AND a window exchange that dragged embedding + centroid arrays
-    * (~1 KB/row) through the shuffle. */
+    * probed cells, so ONE broadcast + map-side rank serves both
+    * sides of the probe join. Round 9 replaced a second full
+    * `nearest` pass and an array-dragging window exchange; round 14
+    * removes the LAST exchange here: the per-vector rank ran as a
+    * window over the vec × cell cross product — n·k narrow rows
+    * hash-shuffled and sorted (measured 3.1 MB / 132k records at
+    * sf0.1, the whole build's shuffle) for an ordering that is
+    * map-LOCAL, because the broadcast cross join already lands every
+    * vector's k cell rows in one task. The k centroids now ship as
+    * ONE packed array row (k = O(√n) — the same bound that makes the
+    * centroid frame broadcastable) and each vector ranks its cells
+    * inside a sorted-struct HOF: struct(-pcos, pcell) ascending ==
+    * (pcos desc, pcell) — the window's exact ordering, exchange-free.
+    * VecDot evaluates interpreted inside the lambda (HOFs don't
+    * codegen); that per-element constant trades against a full n·k
+    * shuffle + sort, and the ranking is built once per index. */
   private[operators] def ivfRanked(s: SparkSession, d: String, k: Int,
       iters: Int): DataFrame =
     Cache.cached(s, d, s"sim.ivf.ranked.$k.$iters") {
-      val means = ivfMeans(s, d, k, iters)
-      val wProbe = Window.partitionBy("vec_id")
-        .orderBy(col("pcos").desc, col("pcell"))
-      vecs(s, d).crossJoin(
-          broadcast(means.select(col("cell").as("pcell"),
-            col("centroid"), col("cnsq"))))
-        .select(col("vec_id"), col("pcell"),
-          (vecDot(col("embedding"), col("centroid"))
-            / sqrt(col("nsq") * col("cnsq"))).as("pcos"))
-        .withColumn("prk", row_number().over(wProbe))
+      val packed = ivfMeans(s, d, k, iters)
+        .agg(collect_list(struct(col("cell"), col("centroid"),
+          col("cnsq"))).as("cents"))
+      val rankedArr = sort_array(transform(col("cents"), c =>
+        struct((-(vecDot(col("embedding"), c.getField("centroid"))
+          / sqrt(col("nsq") * c.getField("cnsq")))).as("negcos"),
+          c.getField("cell").as("pcell"))))
+      vecs(s, d).crossJoin(broadcast(packed))
+        .select(col("vec_id"), posexplode(rankedArr))
+        .select(col("vec_id"), col("col.pcell").as("pcell"),
+          (-col("col.negcos")).as("pcos"), (col("pos") + 1).as("prk"))
     }
 
   /** The ann_ivf pipeline, parameterized for AnnSweep.

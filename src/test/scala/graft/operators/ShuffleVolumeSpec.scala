@@ -113,6 +113,22 @@ class ShuffleVolumeSpec extends SparkSpec {
         s"$corpusTextBytes B) — a corpus-sized shingle exchange is back")
   }
 
+  test("ann_ivf's index build ranks cells map-side, not through a window") {
+    // Through r14 the per-vector cell ranking ran as a window over
+    // the vec x cell cross product — 3.1 MB / 132k records at sf0.1,
+    // the entire build's shuffle. The ranking is map-local (the
+    // broadcast cross join lands each vector's k cell rows in one
+    // task), so the sorted-struct HOF form shuffles only the packed
+    // centroid row and the candidate top-k (1.55 MB / 28k records —
+    // the WindowGroupLimit-reduced per-query top-3, which is
+    // output-bound and stays). 132k records / 3.1 MB is the
+    // regression signature; the pin sits between the two.
+    val (b, r) = shuffleOf("ann_ivf")
+    assert(r < 60000 && b < 2500 * 1024,
+      s"ann_ivf shuffled $b B / $r records — the n*k ranking exchange " +
+        "is back in the index build")
+  }
+
   test("dedup_minhash candidate verify shuffle is bounded by candidates") {
     // Measured: 3.98 MB / 5004 records — signatures (16x8 B), band
     // keys, and ONLY the candidate texts for the exact-Jaccard
