@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.{SparkEntry, SparkSpec}
-import org.apache.spark.sql.Row
 
 /** Cluster-shape invariance over the whole query surface (round 14).
   *
@@ -39,21 +38,9 @@ import org.apache.spark.sql.Row
   */
 class ShapeInvarianceSpec extends SparkSpec {
 
-  /** check.py's `norm` (9 significant digits), applied recursively
-    * so nested arrays/structs/maps compare value-wise. */
-  private def norm(v: Any): String = v match {
-    case null => "null"
-    case d: Double => if (d.isNaN) "nan" else f"$d%.9g"
-    case f: Float => norm(f.toDouble)
-    case r: Row => r.toSeq.map(norm).mkString("(", ",", ")")
-    case s: scala.collection.Seq[_] =>
-      s.map(norm).mkString("[", ",", "]")
-    case a: Array[_] => norm(a.toSeq)
-    case m: scala.collection.Map[_, _] =>
-      m.map { case (k, x) => s"${norm(k)}->${norm(x)}" }
-        .toSeq.sorted.mkString("{", ",", "}")
-    case x => x.toString
-  }
+  /** check.py's `norm` (9 significant digits) — shared definition,
+    * see [[graft.TestNorm]]. */
+  private def norm = graft.TestNorm.norm _
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, SparkSpec.sf0001)

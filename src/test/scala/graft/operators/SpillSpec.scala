@@ -1,0 +1,207 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.{SparkEntry, SparkSpec, TestNorm}
+import org.apache.spark.GraftTestBus
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Spill-path invariance (round 14).
+  *
+  * At 100 TB every buffered operator WILL spill: window frames,
+  * sort-merge-join match buffers, cartesian blocks and hash
+  * aggregates all overflow executor memory somewhere on a 1000-
+  * executor run. The toy fixtures never get near those limits, so
+  * the suite's green says nothing about the spill code paths —
+  * unless we force them. Spark exposes exactly the knobs its own
+  * test suite uses for this (public `SQLConf` thresholds, runtime-
+  * settable):
+  *
+  *  - `spark.sql.windowExec.buffer.{in.memory,spill}.threshold`
+  *  - `spark.sql.sortMergeJoinExec.buffer.{in.memory,spill}.threshold`
+  *  - `spark.sql.cartesianProductExec.buffer.{in.memory,spill}.threshold`
+  *  - `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+  *  - `spark.sql.TungstenAggregate.testFallbackStartsAt` (hash agg →
+  *    sort-based fallback after N rows; the conf Spark's own
+  *    AggregationQuerySuite drives the fallback with)
+  *
+  * With in-memory thresholds at 1 and spill thresholds of a few
+  * rows, every buffered row set takes the UnsafeExternalSorter
+  * disk path, and hash aggregation completes sort-based — the same
+  * operator modes a memory-starved executor would use. The claim
+  * under test is twofold:
+  *
+  *  1. RESULTS are bit-identical (at the oracle's 9-significant-
+  *     digit bar) to the un-spilled run. Sort-based aggregation and
+  *     spill-merge iteration change accumulation ORDER, so this is
+  *     a real float-stability claim, not a tautology.
+  *  2. The spills actually HAPPEN (task-metrics
+  *     `memoryBytesSpilled + diskBytesSpilled > 0` while forced,
+  *     and == 0 for the same query un-forced) — otherwise the suite
+  *     is green because the knobs silently stopped reaching the
+  *     operators, proving nothing. ShapeInvarianceSpec's negative-
+  *     control discipline, applied to the spill axis.
+  *
+  * `spark.sql.autoBroadcastJoinThreshold = -1` rides along in the
+  * forced shape so equi-joins actually take the SMJ buffer path
+  * (the toy dims broadcast otherwise and buffer nothing); a plan
+  * assertion pins that the forced join really executed as
+  * SortMergeJoin. External-sort spills (sort_multikey et al) cannot
+  * be forced from a runtime conf — `spark.shuffle.spill.
+  * numElementsForceSpillThreshold` is a static SparkConf baked in at
+  * session start — so the sort path is exercised implicitly via the
+  * sort-based aggregate fallback here and sized by the partition
+  * arithmetic in SURVEY §4 instead.
+  */
+class SpillSpec extends SparkSpec {
+
+  private def norm = TestNorm.norm _
+
+  /** Task-metrics spill meter. Suites run sequentially in the forked
+    * test JVM (`Test/fork := true`, no `testForkedParallel`), so
+    * between a bus drain before and after a measured body, every
+    * task-end this sees belongs to that body. */
+  private object Meter extends SparkListener {
+    val bytes = new AtomicLong(0)
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) bytes.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+    }
+  }
+  spark.sparkContext.addSparkListener(Meter)
+
+  /** Run `body`, returning (result, spilled bytes attributed to it). */
+  private def metered[T](body: => T): (T, Long) = {
+    GraftTestBus.waitUntilEmpty(spark.sparkContext)
+    val before = Meter.bytes.get
+    val r = body
+    GraftTestBus.waitUntilEmpty(spark.sparkContext)
+    (r, Meter.bytes.get - before)
+  }
+
+  private val forcedConfs = Seq(
+    "spark.sql.windowExec.buffer.in.memory.threshold" -> "1",
+    "spark.sql.windowExec.buffer.spill.threshold" -> "128",
+    // SMJ: in-memory 1 forces the UnsafeExternalSorter path for every
+    // buffered group; spill 64 (not lower) because the codegen SMJ
+    // re-opens EVERY spill file's reader (1 MB buffer each) per
+    // probing left row — a 2-row threshold on the theta join's
+    // ~200-row groups allocates files × probes megabytes and OOMs
+    // the shared test JVM (measured; the threshold is per-group
+    // rows, so 64 still spills every group bigger than a toy dim).
+    "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "1",
+    "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "64",
+    "spark.sql.cartesianProductExec.buffer.in.memory.threshold" -> "1",
+    "spark.sql.cartesianProductExec.buffer.spill.threshold" -> "2",
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "1",
+    "spark.sql.TungstenAggregate.testFallbackStartsAt" -> "1, 3",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+
+  private def withForcedSpill[T](extra: (String, String)*)(body: => T): T = {
+    val all = forcedConfs ++ extra
+    val conf = spark.conf
+    val prev = all.map { case (k, _) => k -> conf.getOption(k) }
+    all.foreach { case (k, v) => conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  private def run(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, SparkSpec.sf0001)
+      .collect().map(norm).toSeq
+
+  // One representative set per buffered-operator class. Everything
+  // here returns rows at sf0.001 (RegistrySpec pins that), so no
+  // vacuous-empty passes.
+  private val targets = Seq(
+    // WindowExec frame buffers (also stream_session: lag + running
+    // sum + per-session agg — window-over-events end to end)
+    "window_rank", "window_moving", "window_median",
+    "window_range_frame", "topk_per_group", "stream_session",
+    // SortMergeJoin match buffers (forced off broadcast)
+    "join_inner", "join_5way", "join_full_outer", "join_asof",
+    "join_theta_range",
+    // CartesianProduct block buffer
+    "join_cross",
+    // Hash-aggregate sort-based fallback (Tungsten + object hash)
+    "agg_pricing_summary", "agg_rollup", "agg_multi_distinct",
+    "agg_stats", "agg_listagg", "agg_histogram", "agg_mode")
+
+  targets.foreach { name =>
+    test(s"$name: identical result when every buffer is forced to spill") {
+      graft.Cache.clear(spark)
+      val base = run(name)
+      graft.Cache.clear(spark)
+      val forced = withForcedSpill()(run(name))
+      assert(base.nonEmpty, s"$name empty at sf0.001 — test is vacuous")
+      val diffs = base.zip(forced).zipWithIndex.collect {
+        case ((x, y), i) if x != y => s"row $i:\n  base=$x\n  spilled=$y"
+      }
+      assert(base.length == forced.length,
+        s"$name: ${base.length} rows un-spilled vs ${forced.length} spilled")
+      assert(diffs.isEmpty,
+        s"$name differs under forced spilling (first 3):\n" +
+          diffs.take(3).mkString("\n"))
+    }
+  }
+
+  // Positive controls: the knobs must actually reach the operators,
+  // or the 19 green tests above prove nothing.
+
+  test("positive control: forced window query spills to disk") {
+    graft.Cache.clear(spark)
+    // NOT window_rank: its `rn <= 3` filter triggers Spark 4's
+    // WindowGroupLimit pushdown, so WindowExec buffers ≤ 3 rows per
+    // group and no threshold can trip (measured — a useful fact on
+    // its own: the top-k window pattern self-limits its buffers).
+    // window_moving has no group limit; its per-user event groups
+    // (~20 rows) spill at a 4-row threshold, and the sliding-frame
+    // iterators open once per group — no SMJ-style per-probe reader
+    // reopen, so no allocation storm.
+    val (_, spilled) = metered(withForcedSpill(
+      "spark.sql.windowExec.buffer.spill.threshold" -> "4")(
+      run("window_moving")))
+    assert(spilled > 0,
+      "window spill thresholds are NOT reaching WindowExec — " +
+        "the window rows of this suite are vacuous")
+  }
+
+  test("positive control: forced join executes as SortMergeJoin and spills") {
+    // join_theta_range: equi on user_id + range residual, so the
+    // buffered per-user groups (~hundreds of events) exceed the
+    // 64-row spill threshold; the TPC-H key joins buffer ≤ 7 rows
+    // per key and exercise the sorter path without touching disk.
+    graft.Cache.clear(spark)
+    val (plan, spilled) = metered(withForcedSpill() {
+      val q = SparkEntry.queries("join_theta_range")(spark, SparkSpec.sf0001)
+      q.collect()
+      q.queryExecution.executedPlan.toString
+    })
+    assert(plan.contains("SortMergeJoin"),
+      s"broadcast disable is NOT reaching the planner — " +
+        s"join_theta_range did not execute as SMJ:\n$plan")
+    assert(spilled > 0,
+      "SMJ buffer thresholds are NOT reaching SortMergeJoinExec — " +
+        "the join rows of this suite are vacuous")
+  }
+
+  test("positive control: forced cartesian product spills") {
+    graft.Cache.clear(spark)
+    val (_, spilled) = metered(withForcedSpill()(run("join_cross")))
+    assert(spilled > 0,
+      "cartesian buffer thresholds are NOT reaching " +
+        "CartesianProductExec — the cross-join row is vacuous")
+  }
+
+  test("negative control: un-forced window query does not spill") {
+    graft.Cache.clear(spark)
+    val (_, spilled) = metered(run("window_rank"))
+    assert(spilled == 0,
+      s"un-forced baseline spilled $spilled bytes at sf0.001 — the " +
+        "meter is counting foreign work and the controls are unsound")
+  }
+}
