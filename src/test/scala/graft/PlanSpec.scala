@@ -515,4 +515,22 @@ class PlanSpec extends SparkSpec {
     // aggregate's partitioning.
     assert(shuffleExchanges(plan("events_retention")) <= 4)
   }
+
+  test("window_rank / topk_per_group: rank filter plants a " +
+      "WindowGroupLimit below the window") {
+    // The `row_number <= k` pattern must keep its buffers bounded at
+    // k rows per group — Spark 4's WindowGroupLimit pushdown does
+    // exactly that, and SpillSpec measured the consequence (the
+    // pattern cannot be made to spill: nothing larger than k is ever
+    // buffered). At 100 TB that is the difference between a top-k
+    // whose memory is O(k) and one whose memory is the largest
+    // group. A refactor that breaks the pushdown's preconditions
+    // (e.g. filtering on a derived rank column) fails here.
+    Seq("window_rank", "topk_per_group").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q: no WindowGroupLimit in the plan — the window now " +
+          "buffers whole groups where it could buffer k rows")
+    }
+  }
 }
