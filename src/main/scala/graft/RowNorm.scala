@@ -3,11 +3,11 @@ package graft
 import org.apache.spark.sql.Row
 
 /** check.py's `norm` (9 significant digits), applied recursively so
-  * nested arrays/structs/maps compare value-wise. One definition
-  * shared by the execution-robustness suites (ShapeInvarianceSpec,
-  * SpillSpec): every invariance claim compares at the oracle's own
-  * bar, and the bar cannot drift between suites. */
-object TestNorm {
+  * nested arrays/structs/maps compare value-wise. One definition for
+  * every execution-robustness comparison (ShapeInvarianceSpec,
+  * SpillSpec, SortSpillCheck): all invariance claims compare at the
+  * oracle's own bar, and the bar cannot drift between harnesses. */
+object RowNorm {
   def norm(v: Any): String = v match {
     case null => "null"
     case d: Double => if (d.isNaN) "nan" else f"$d%.9g"

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{SparkEntry, SparkSpec}
+import graft.{RowNorm, SparkEntry, SparkSpec}
 
 /** Cluster-shape invariance over the whole query surface (round 14).
   *
@@ -39,8 +39,8 @@ import graft.{SparkEntry, SparkSpec}
 class ShapeInvarianceSpec extends SparkSpec {
 
   /** check.py's `norm` (9 significant digits) — shared definition,
-    * see [[graft.TestNorm]]. */
-  private def norm = graft.TestNorm.norm _
+    * see [[graft.RowNorm]]. */
+  private def norm = RowNorm.norm _
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, SparkSpec.sf0001)

@@ -2,7 +2,7 @@ package graft.operators
 
 import java.util.concurrent.atomic.AtomicLong
 
-import graft.{SparkEntry, SparkSpec, TestNorm}
+import graft.{RowNorm, SparkEntry, SparkSpec}
 import org.apache.spark.GraftTestBus
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 
@@ -55,7 +55,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   */
 class SpillSpec extends SparkSpec {
 
-  private def norm = TestNorm.norm _
+  private def norm = RowNorm.norm _
 
   /** Task-metrics spill meter. Suites run sequentially in the forked
     * test JVM (`Test/fork := true`, no `testForkedParallel`), so
