@@ -32,9 +32,11 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   * under test is twofold:
   *
   *  1. RESULTS are bit-identical (at the oracle's 9-significant-
-  *     digit bar) to the un-spilled run. Sort-based aggregation and
-  *     spill-merge iteration change accumulation ORDER, so this is
-  *     a real float-stability claim, not a tautology.
+  *     digit bar) to the un-spilled run, for EVERY declared query
+  *     (the empty-at-toy families re-proven with rows at sf0.01 /
+  *     sf0.1). Sort-based aggregation and spill-merge iteration
+  *     change accumulation ORDER, so this is a real float-stability
+  *     claim, not a tautology.
   *  2. The spills actually HAPPEN (task-metrics
   *     `memoryBytesSpilled + diskBytesSpilled > 0` while forced,
   *     and == 0 for the same query un-forced) — otherwise the suite
@@ -82,19 +84,34 @@ class SpillSpec extends SparkSpec {
   private val forcedConfs = Seq(
     "spark.sql.windowExec.buffer.in.memory.threshold" -> "1",
     "spark.sql.windowExec.buffer.spill.threshold" -> "128",
-    // SMJ: in-memory 1 forces the UnsafeExternalSorter path for every
-    // buffered group; spill 64 (not lower) because the codegen SMJ
-    // re-opens EVERY spill file's reader (1 MB buffer each) per
-    // probing left row — a 2-row threshold on the theta join's
-    // ~200-row groups allocates files × probes megabytes and OOMs
-    // the shared test JVM (measured; the threshold is per-group
-    // rows, so 64 still spills every group bigger than a toy dim).
+    // SMJ/cartesian: in-memory 1 forces the UnsafeExternalSorter-
+    // backed buffer path for every buffered group everywhere; the
+    // DISK spill thresholds stay high suite-wide because the codegen
+    // join re-opens EVERY spill file's reader (1 MB buffer each) per
+    // probing row — on the declared O(n²) similarity baselines,
+    // which broadcast-disable turns into SMJ/cartesian with
+    // hundreds-of-rows buffered groups, a low threshold makes
+    // files × probes megabytes of reader churn and OOMs the shared
+    // JVM (measured, twice). The positive controls below re-force
+    // LOW thresholds on bounded-group queries to prove the disk
+    // path itself.
     "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "1",
-    "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "64",
+    "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "512",
     "spark.sql.cartesianProductExec.buffer.in.memory.threshold" -> "1",
-    "spark.sql.cartesianProductExec.buffer.spill.threshold" -> "2",
+    "spark.sql.cartesianProductExec.buffer.spill.threshold" -> "4096",
     "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "1",
-    "spark.sql.TungstenAggregate.testFallbackStartsAt" -> "1, 3",
+    // First value 1 = EVERY grouped aggregate takes the sort-based
+    // fallback from its first row — that is the accumulation-order
+    // claim under test. Second value = forced-spill frequency, so
+    // file count ~ rows/threshold and the spill-merge READERS (1 MB
+    // ReadAhead buffer each, opened together) cost file-count MB per
+    // task: "1, 3" OOM'd on agg_cube's 4× grouping expansion, and
+    // "1, 64" OOM'd on text_char_ngrams' ~150k-row per-task partial
+    // agg (~2400 files ≈ 2.4 GB of reader buffers; both measured).
+    // 4096 bounds the worst fixture aggregate (~1.5M rows at sf0.1)
+    // to ~360 files/task while real memory-pressure spills remain
+    // free to happen on top.
+    "spark.sql.TungstenAggregate.testFallbackStartsAt" -> "1, 4096",
     "spark.sql.autoBroadcastJoinThreshold" -> "-1",
     "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
 
@@ -114,43 +131,74 @@ class SpillSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, SparkSpec.sf0001)
       .collect().map(norm).toSeq
 
-  // One representative set per buffered-operator class. Everything
-  // here returns rows at sf0.001 (RegistrySpec pins that), so no
-  // vacuous-empty passes.
-  private val targets = Seq(
-    // WindowExec frame buffers (also stream_session: lag + running
-    // sum + per-session agg — window-over-events end to end)
-    "window_rank", "window_moving", "window_median",
-    "window_range_frame", "topk_per_group", "stream_session",
-    // SortMergeJoin match buffers (forced off broadcast)
-    "join_inner", "join_5way", "join_full_outer", "join_asof",
-    "join_theta_range",
-    // CartesianProduct block buffer
-    "join_cross",
-    // Hash-aggregate sort-based fallback (Tungsten + object hash)
-    "agg_pricing_summary", "agg_rollup", "agg_multi_distinct",
-    "agg_stats", "agg_listagg", "agg_histogram", "agg_mode")
+  // The WHOLE declared surface, not a representative subset: the
+  // forced confs only change behavior for queries that buffer (the
+  // rest pay one pass of overhead), and suite-wide coverage means a
+  // future operator cannot slip a buffered path in un-pinned.
+  // Queries empty at sf0.001 (RegistrySpec.mayBeEmpty) are vacuous
+  // here and re-proven on the smallest SF with rows below — same
+  // structure as ShapeInvarianceSpec.
+  private def compare(name: String, base: Seq[String],
+      forced: Seq[String]): Unit = {
+    val diffs = base.zip(forced).zipWithIndex.collect {
+      case ((x, y), i) if x != y => s"row $i:\n  base=$x\n  spilled=$y"
+    }
+    assert(base.length == forced.length,
+      s"$name: ${base.length} rows un-spilled vs ${forced.length} spilled")
+    assert(diffs.isEmpty,
+      s"$name differs under forced spilling (first 3):\n" +
+        diffs.take(3).mkString("\n"))
+  }
 
-  targets.foreach { name =>
+  SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"$name: identical result when every buffer is forced to spill") {
       graft.Cache.clear(spark)
       val base = run(name)
       graft.Cache.clear(spark)
       val forced = withForcedSpill()(run(name))
-      assert(base.nonEmpty, s"$name empty at sf0.001 — test is vacuous")
-      val diffs = base.zip(forced).zipWithIndex.collect {
-        case ((x, y), i) if x != y => s"row $i:\n  base=$x\n  spilled=$y"
-      }
-      assert(base.length == forced.length,
-        s"$name: ${base.length} rows un-spilled vs ${forced.length} spilled")
-      assert(diffs.isEmpty,
-        s"$name differs under forced spilling (first 3):\n" +
-          diffs.take(3).mkString("\n"))
+      assert(base.nonEmpty || RegistrySpec.mayBeEmpty(name),
+        s"$name empty at sf0.001 — test is vacuous")
+      compare(name, base, forced)
     }
   }
 
+  // Empty-at-toy families re-proven with rows: the geo pair family +
+  // banded join at sf0.01, the dedup family (planted duplicates) at
+  // sf0.1 — one pass per regime so shared pair-graph/signature
+  // caches rebuild under forced spilling too.
+  Seq("geo_co_presence", "geo_meeting_streaks", "geo_triangles",
+    "join_range_banded").foreach { name =>
+    test(s"$name: spill-invariant at sf0.01 (rows > 0)") {
+      def go() = SparkEntry.queries(name)(spark, SparkSpec.sf001)
+        .collect().map(norm).toSeq
+      graft.Cache.clear(spark)
+      val base = go()
+      graft.Cache.clear(spark)
+      val forced = withForcedSpill()(go())
+      assert(base.nonEmpty, s"$name empty at sf0.01 — test is vacuous")
+      compare(name, base, forced)
+    }
+  }
+
+  test("dedup family: spill-invariant at sf0.1 (planted dups)") {
+    val family = SparkEntry.queries.keys.filter(_.startsWith("dedup_"))
+      .toSeq.sorted
+    def pass(forced: Boolean): Map[String, Seq[String]] = {
+      graft.Cache.clear(spark)
+      def go() = family.map(n => n ->
+        SparkEntry.queries(n)(spark, SparkSpec.sf01)
+          .collect().map(norm).toSeq).toMap
+      if (forced) withForcedSpill()(go()) else go()
+    }
+    val base = pass(forced = false)
+    val forced = pass(forced = true)
+    val empty = family.filter(base(_).isEmpty)
+    assert(empty.isEmpty, s"empty at sf0.1 (vacuous): $empty")
+    family.foreach(n => compare(n, base(n), forced(n)))
+  }
+
   // Positive controls: the knobs must actually reach the operators,
-  // or the 19 green tests above prove nothing.
+  // or the suite-wide green above proves nothing.
 
   test("positive control: forced window query spills to disk") {
     graft.Cache.clear(spark)
@@ -172,11 +220,12 @@ class SpillSpec extends SparkSpec {
 
   test("positive control: forced join executes as SortMergeJoin and spills") {
     // join_theta_range: equi on user_id + range residual, so the
-    // buffered per-user groups (~hundreds of events) exceed the
-    // 64-row spill threshold; the TPC-H key joins buffer ≤ 7 rows
-    // per key and exercise the sorter path without touching disk.
+    // buffered per-user groups (~hundreds of events) exceed a
+    // 64-row spill threshold; probes per group are bounded by the
+    // group itself, so the reader-reopen churn stays sane here.
     graft.Cache.clear(spark)
-    val (plan, spilled) = metered(withForcedSpill() {
+    val (plan, spilled) = metered(withForcedSpill(
+      "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "64") {
       val q = SparkEntry.queries("join_theta_range")(spark, SparkSpec.sf0001)
       q.collect()
       q.queryExecution.executedPlan.toString
@@ -190,11 +239,30 @@ class SpillSpec extends SparkSpec {
   }
 
   test("positive control: forced cartesian product spills") {
+    // join_cross buffers 5 rows; threshold 2 spills them — bounded
+    // files, bounded probes.
     graft.Cache.clear(spark)
-    val (_, spilled) = metered(withForcedSpill()(run("join_cross")))
+    val (_, spilled) = metered(withForcedSpill(
+      "spark.sql.cartesianProductExec.buffer.spill.threshold" -> "2")(
+      run("join_cross")))
     assert(spilled > 0,
       "cartesian buffer thresholds are NOT reaching " +
         "CartesianProductExec — the cross-join row is vacuous")
+  }
+
+  test("positive control: forced hash-agg fallback spills to disk") {
+    // agg_pricing_summary: ~6k lineitem rows through a grouped agg;
+    // forcing a spill every 64 processed rows makes ~95 spill files
+    // per task (bounded reader buffers) and nonzero spilled bytes —
+    // proof the testFallbackStartsAt conf reaches HashAggregateExec,
+    // which the suite-wide "1, 4096" equality pass relies on.
+    graft.Cache.clear(spark)
+    val (_, spilled) = metered(withForcedSpill(
+      "spark.sql.TungstenAggregate.testFallbackStartsAt" -> "1, 64")(
+      run("agg_pricing_summary")))
+    assert(spilled > 0,
+      "agg fallback thresholds are NOT reaching HashAggregateExec — " +
+        "the aggregate rows of this suite are vacuous")
   }
 
   test("negative control: un-forced window query does not spill") {
