@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench`
+// as the bench JSON. Through sbt's default LoggedOutput strategy every
+// forked-process line gets an `[info] `/`[error] ` prefix and sbt
+// appends `[success] Total time: ...` afterwards — 14 rounds of
+// BENCH_r*.json came back `"parsed": null` because of exactly that.
+// StdoutOutput passes the child's stdout/stderr through verbatim, and
+// showSuccess := false drops the trailing `[success]` line, so the
+// bench JSON line is bare and final.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

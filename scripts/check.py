@@ -138,6 +138,33 @@ def _bench_env(path):
     return out
 
 
+def _bench_probes(path):
+    """Interleaved per-segment probe data (since r15): Bench runs one
+    micro-probe shot after every `seg` queries in each pass and emits
+    `"seg":N,"probes1":[...],"probes2":[...]` — probes1 covers the
+    cold rep1 pass, probes2 the warm pass2 pass, segment i covering
+    sorted-name queries [i*seg, (i+1)*seg). Lets load be adjudicated
+    per query FAMILY instead of per run (r14's driver artifact had
+    the events family ~2x inflated while the run-level probes could
+    only condemn the whole run). Returns (seg, probes1, probes2) or
+    (None, [], []) for pre-r15 artifacts."""
+    import re
+    with open(path) as f:
+        rec = json.load(f)
+    parsed = rec.get("parsed")
+    src = json.dumps(parsed) if isinstance(parsed, dict) else (rec.get("tail") or "")
+    m = re.search(r'"seg":\s*(\d+)', src)
+    if not m:
+        return (None, [], [])
+    seg = int(m.group(1))
+    out = []
+    for k in ("probes1", "probes2"):
+        mm = re.search(rf'"{k}":\[([0-9.,]*)\]', src)
+        out.append([float(x) for x in mm.group(1).split(",")]
+                   if mm and mm.group(1) else [])
+    return (seg, out[0], out[1])
+
+
 def _bench_full(path):
     """Untruncated sidecar for a driver BENCH_r*.json artifact: Bench
     mirrors its full stdout line to BENCH_FULL.json (and the round
@@ -259,6 +286,40 @@ def bench_history(repo_dir="."):
     # was measurably more loaded, rep1 comparisons are normalized by
     # the ratio; rep2 (the warm floor) is left as measured.
     prev_env, cur_env = _bench_env(prev_p), _bench_env(cur_p)
+    # Per-SEGMENT normalization (r15+): when both rounds carry the
+    # interleaved probe arrays, a query's rep1/pass2 comparison is
+    # normalized by the probe ratio of ITS segment, so driver-box
+    # load localizes to the query family it actually hit instead of
+    # smearing one global factor over 157 queries. Segment index =
+    # position of the query in that run's sorted name list // seg.
+    prev_seg, prev_pr1, prev_pr2 = _bench_probes(prev_p)
+    cur_seg, cur_pr1, cur_pr2 = _bench_probes(cur_p)
+
+    def seg_index(name, names_sorted, seg):
+        try:
+            return min(names_sorted.index(name) // seg,  # last partial
+                       max(0, (len(names_sorted) - 1) // seg))
+        except ValueError:
+            return None
+
+    def seg_ratio(name, kind):
+        """cur/prev probe ratio for the segment `name` fell in, or
+        None when either side lacks segment probes for that pass.
+        rep1 uses probes1 (cold pass), pass2/rep2 use probes2."""
+        if not (prev_seg and cur_seg):
+            return None
+        prev_pr = prev_pr1 if kind == "rep1" else prev_pr2
+        cur_pr = cur_pr1 if kind == "rep1" else cur_pr2
+        prev_names = sorted(prev_pass2 or prev1)
+        cur_names = sorted(cur_pass2 or cur1)
+        i = seg_index(name, prev_names, prev_seg)
+        j = seg_index(name, cur_names, cur_seg)
+        if i is None or j is None or i >= len(prev_pr) or j >= len(cur_pr):
+            return None
+        if prev_pr[i] <= 0 or cur_pr[j] <= 0:
+            return None
+        return cur_pr[j] / prev_pr[i]
+
     probe_ratio = 1.0
     if prev_env.get("probe_start") and cur_env.get("probe_start"):
         raw_ratio = cur_env["probe_start"] / prev_env["probe_start"]
@@ -300,12 +361,23 @@ def bench_history(repo_dir="."):
             continue
         if p < 0 or c < 0:  # negative = failed-query marker
             continue
+        sr = seg_ratio(name, kind)
+        if sr is not None and kind == "rep1":
+            # undo the global factor, apply the segment's own
+            c = (cur1[name] if name in cur1 else c * probe_ratio)
+            c /= max(1.0, sr)
+        elif sr is not None and sr > 1.0:
+            # warm passes were previously compared raw; a loaded
+            # SEGMENT (not just a loaded run) now normalizes them too
+            c /= sr
         kinds[kind] = kinds.get(kind, 0) + 1
         compared += 1
         if c > 2.0 * p and c >= 1.0:
+            note = (f", seg-probe ratio {sr:.2f}x" if sr is not None
+                    else "")
             print(f"  [REGRESSION] {name} ({kind}): {p:.2f}s -> {c:.2f}s"
                   f" ({os.path.basename(prev_p)} -> "
-                  f"{os.path.basename(cur_p)})")
+                  f"{os.path.basename(cur_p)}{note})")
             flags += 1
     by_kind = ", ".join(f"{v} via {k}" for k, v in sorted(kinds.items()))
     print(f"== bench-history: {compared} queries compared"
@@ -401,6 +473,44 @@ def snapshot_bench(repo_dir="."):
         json.dump(full, f)
     print(f"snapshot-bench: wrote {os.path.basename(dst)} "
           f"({len(full.get('pass2') or {})} warm pass2 entries)")
+    return _snapshot_quiet(repo_dir, rnum)
+
+
+def _snapshot_quiet(repo_dir, rnum):
+    """Persist the round's QUIET-BOX sidecar as
+    BENCH_FULL_r{N}_quiet.json. The driver's end-of-round run shares
+    the box with the driver itself, so the committed per-round
+    sidecar alone preserves a load-inflated run (r13: rep2_total
+    98.46 driver vs 52.4 quiet, and the quiet map survived only as
+    BASELINE.md trend aggregates). In-round quiet runs write their
+    sidecar to BENCH_FULL_QUIET.json (SPARK_GRAFT_BENCH_FULL env
+    override); this snapshots it per round. GATE (r15+): absent
+    quiet snapshot with no source fails the round."""
+    src = os.path.join(repo_dir, "BENCH_FULL_QUIET.json")
+    dst = os.path.join(repo_dir, f"BENCH_FULL_r{rnum}_quiet.json")
+    if os.path.exists(dst):
+        print(f"snapshot-bench: {os.path.basename(dst)} already exists")
+        return 0
+    if not os.path.exists(src):
+        if int(rnum) >= 15:
+            print("snapshot-bench: GATE FAIL — no quiet-box sidecar "
+                  f"(run Bench on a quiet box with SPARK_GRAFT_BENCH_FULL="
+                  f"{src} before snapshotting)")
+            return 1
+        print(f"snapshot-bench: no quiet sidecar for r{rnum} "
+              "(pre-r15 round; quiet runs were not mirrored)")
+        return 0
+    try:
+        with open(src) as f:
+            quiet = json.load(f)
+        assert quiet.get("pass2") and quiet.get("rep2_total") is not None
+    except Exception as e:
+        print(f"snapshot-bench: GATE FAIL — quiet sidecar unreadable: {e}")
+        return 1
+    with open(dst, "w") as f:
+        json.dump(quiet, f)
+    print(f"snapshot-bench: wrote {os.path.basename(dst)} "
+          f"(quiet rep2_total {quiet.get('rep2_total')})")
     return 0
 
 

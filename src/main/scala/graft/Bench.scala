@@ -63,7 +63,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the three provably-bounded global windows
+    // (day offsets, bucket offsets, k seed rows) each emit a
+    // `WindowExec: No Partition Defined` WARN per execution — ~90% of
+    // the bench tail in r14 — which buried the metric line inside the
+    // driver's ~2000-char stdout capture. Boundedness is asserted in
+    // PlanSpec, so the warning carries no information here.
+    spark.sparkContext.setLogLevel("ERROR")
     // Warmup (untimed): primes the scheduler, codegen compiler, and
     // parquet footers so the first timed query isn't charged ~5 s of
     // one-time JVM machinery.
@@ -89,12 +95,29 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val rep1 = names.map { name =>
-      val t = timed(name)
-      releaseAfter.get(name)
-        .foreach(_.foreach(p => Cache.clear(spark, p)))
-      name -> t
+    // Interleaved load probes: one single-shot micro-probe run after
+    // every SEGMENT queries (plus the pass tail), so ambient load is
+    // adjudicable per query FAMILY, not just per run — r14's driver
+    // artifact showed the events family ~2x inflated while the run-
+    // level probes could only say "the whole run was loaded". Single
+    // shot (not median-of-3) keeps the cost ~0.1 s x 8 per pass.
+    val segment = 20
+    def runPass(): (Seq[(String, Double)], Seq[Double]) = {
+      val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val times = names.zipWithIndex.map { case (name, i) =>
+        val t = timed(name)
+        releaseAfter.get(name)
+          .foreach(_.foreach(p => Cache.clear(spark, p)))
+        if ((i + 1) % segment == 0 || i + 1 == names.size) {
+          val p0 = System.nanoTime()
+          spark.range(200000000L).selectExpr("sum(id % 7)").collect()
+          probes += (System.nanoTime() - p0) / 1e9
+        }
+        name -> t
+      }
+      (times, probes.toSeq)
     }
+    val (rep1, probes1) = runPass()
     val top10 = rep1.sortBy(-_._2).take(10).map(_._1).sorted
     val rep2 = top10.map(n => n -> timed(n))
     Cache.clear(spark)
@@ -106,12 +129,7 @@ object Bench {
     // (8 false "regressions" flagged in r12 on rep1 data alone).
     // pass1−pass2 gap ≈ load + warmup; a real plan regression moves
     // BOTH passes.
-    val pass2 = names.map { name =>
-      val t = timed(name)
-      releaseAfter.get(name)
-        .foreach(_.foreach(p => Cache.clear(spark, p)))
-      name -> t
-    }
+    val (pass2, probes2) = runPass()
     Cache.clear(spark)
     // Totals count only SUCCESSFUL timings: a failed query's negative
     // marker must not subtract from the headline (a round with
@@ -140,7 +158,15 @@ object Bench {
     // stays well under the capture budget so it parses whole; the
     // full rep1/pass2 maps ride ONLY in the sidecar, which check.py
     // trusts after matching the anchors in the artifact tail.
+    // Per-segment probe arrays (~8 entries x 2 passes, ~120 chars):
+    // index i covers sorted-name queries [i*20, (i+1)*20). Small
+    // enough to ride the printed line; check.py --bench-history uses
+    // them to normalize per-segment instead of per-run.
+    def arr(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val tailFields =
+      s""""seg":$segment,"probes1":${arr(probes1)},""" +
+      s""""probes2":${arr(probes2)},""" +
       f""""load_start":$loadStart%.3f,"probe_start":$probeStart%.3f,""" +
       f""""load_end":$loadEnd%.3f,"probe_end":$probeEnd%.3f,""" +
       s""""errors":$errJson,"error_count":${errors.size},""" +
