@@ -303,7 +303,17 @@ object Similarity {
     * (pcos desc, pcell) — the window's exact ordering, exchange-free.
     * VecDot evaluates interpreted inside the lambda (HOFs don't
     * codegen); that per-element constant trades against a full n·k
-    * shuffle + sort, and the ranking is built once per index. */
+    * shuffle + sort, and the ranking is built once per index.
+    *
+    * NaN corner (zero-norm embedding or degenerate zero centroid →
+    * 0/0 cosine): Spark orders double NaN as LARGEST, so the old
+    * window's (pcos desc) and `nearest`'s max_by(struct(cos, -cell))
+    * both rank a NaN cosine FIRST — but plain negation would flip it
+    * to last in the ascending struct sort. nanvl pins the ordering
+    * key to -Infinity for NaN, preserving the max_by convention
+    * (prk = 1 still lands on the NaN cell); the corner's pcos
+    * surfaces as +Infinity instead of NaN, which no downstream
+    * consumer reads (probe/member joins filter on prk only). */
   private[operators] def ivfRanked(s: SparkSession, d: String, k: Int,
       iters: Int): DataFrame =
     Cache.cached(s, d, s"sim.ivf.ranked.$k.$iters") {
@@ -311,8 +321,9 @@ object Similarity {
         .agg(collect_list(struct(col("cell"), col("centroid"),
           col("cnsq"))).as("cents"))
       val rankedArr = sort_array(transform(col("cents"), c =>
-        struct((-(vecDot(col("embedding"), c.getField("centroid"))
-          / sqrt(col("nsq") * c.getField("cnsq")))).as("negcos"),
+        struct(nanvl(-(vecDot(col("embedding"), c.getField("centroid"))
+          / sqrt(col("nsq") * c.getField("cnsq"))),
+          lit(Double.NegativeInfinity)).as("negcos"),
           c.getField("cell").as("pcell"))))
       vecs(s, d).crossJoin(broadcast(packed))
         .select(col("vec_id"), posexplode(rankedArr))

@@ -35,7 +35,17 @@ class ShuffleVolumeSpec extends SparkSpec {
     }
   }
 
-  /** (shuffle bytes, shuffle records) written while `name` executes. */
+  /** (shuffle bytes, shuffle records) written while `name` executes.
+    *
+    * Scope note: the query is driven with `.count()`, so
+    * EliminateSorts removes each query's final presentation ORDER BY
+    * and its range-partitioning exchange never executes. The pinned
+    * numbers therefore measure the COMPUTE shuffles only and
+    * systematically exclude the output sort's shuffle that a real
+    * collect/write would pay. That is the right scope for regression
+    * pins (the presentation sort is identical row-count-shaped work
+    * in every round), but these values must NOT be cited as absolute
+    * per-query shuffle volumes. */
   private def shuffleOf(name: String): (Long, Long) = {
     spark.sparkContext.addSparkListener(listener)
     try {
