@@ -584,6 +584,71 @@ class StreamingSpec extends SparkSpec {
     assert(afterFirst > 0)
   }
 
+  test("CRASH RECOVERY: abrupt stop mid-stream, restart from the" +
+      " checkpoint drains to the exact batch answer") {
+    // The planned AvailableNow restarts above stop cleanly BETWEEN
+    // runs; a streaming claim at scale includes an ABRUPT stop while
+    // input is still queued (and possibly a micro-batch in flight).
+    // Land the events as ~8 files, throttle to one file per
+    // micro-batch, and stop() the moment the first batch commits:
+    // later files are unprocessed, so the restart must cross the
+    // recovered state store, must not replay committed files, and
+    // the file sink's manifest must keep any interrupted batch's
+    // orphan files invisible (spark.read honors _spark_metadata) —
+    // exactly-once end to end.
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-crash-voy").toString
+    val inDir = s"$base/in"
+    val outDir = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    val nSlices = 8
+    val per = math.max(1,
+      math.ceil(batchEvents.length / nSlices.toDouble).toInt)
+    batchEvents.grouped(per).foreach(evs =>
+      evs.toDF().coalesce(1).write.mode("append").parquet(inDir))
+    val nFiles = new java.io.File(inDir).list()
+      .count(f => f.startsWith("part-"))
+    def start(trigger: org.apache.spark.sql.streaming.Trigger) = {
+      val src = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Ev]].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir)
+      Streams.statefulVoyages(src.as[EventRow]).writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(trigger)
+        .start()
+    }
+    // run 1: continuous trigger, killed right after the FIRST commit
+    val q1 = start(
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val deadline = System.nanoTime + 120L * 1000000000L
+    try {
+      while (q1.recentProgress.isEmpty && q1.exception.isEmpty
+          && System.nanoTime < deadline) Thread.sleep(10)
+      q1.exception.foreach(throw _)
+    } finally q1.stop()
+    // the crash point is only exercised if input remained queued
+    val committed = Option(new java.io.File(s"$ckpt/commits").list())
+      .map(_.count(!_.startsWith("."))).getOrElse(0)
+    assert(committed >= 1, "run 1 never committed a micro-batch")
+    assert(committed < nFiles,
+      s"run 1 drained all $nFiles file batches before stop() landed" +
+        " — the crash point was not exercised (box too fast?)")
+    // run 2: drain the remainder from the recovered checkpoint
+    val q2 = start(
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try q2.awaitTermination() finally q2.stop()
+    val all = spark.read.parquet(outDir)
+      .collect().map(_.mkString("|")).toSeq.sorted
+    assert(all == closedBatchVoyages,
+      "crash-recovered stream diverges from the batch collapse")
+  }
+
   test("dedup: stream emits one row per (user_id, event_type) key") {
     val stream = runStream("t_dedup", "append", Streams.dedup)
     val batch = graft.operators.EventOps.queries("stream_dedup")(
