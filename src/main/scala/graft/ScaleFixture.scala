@@ -36,6 +36,13 @@ import org.apache.spark.sql.functions._
   *    10×); SCALING.md reports output-normalized slopes for those.
   *
   * Usage: runMain graft.ScaleFixture <srcDir> <dstDir> [factor=10]
+  *          [tables=events,documents,embeddings]
+  *
+  * The optional 4th arg restricts which tables are generated — the
+  * 100x point (factor=100) is embeddings-only: 200k vectors cost
+  * ~50 MB and validate the lshBits-grows-with-n occupancy model two
+  * decades off the graded fixture, while 100x events/documents
+  * would take minutes to build for curves already pinned at 10x.
   */
 object ScaleFixture {
 
@@ -43,6 +50,8 @@ object ScaleFixture {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val which = (if (args.length > 3) args(3)
+      else "events,documents,embeddings").split(",").toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -51,11 +60,11 @@ object ScaleFixture {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    events(spark, src, dst, factor)
-    documents(spark, src, dst, factor)
-    embeddings(spark, src, dst, factor)
-    println(s"ScaleFixture: wrote events/documents/embeddings x$factor "
-      + s"to $dst")
+    if (which("events")) events(spark, src, dst, factor)
+    if (which("documents")) documents(spark, src, dst, factor)
+    if (which("embeddings")) embeddings(spark, src, dst, factor)
+    println(s"ScaleFixture: wrote ${which.toSeq.sorted.mkString("/")} "
+      + s"x$factor to $dst")
     spark.stop()
   }
 

@@ -32,6 +32,12 @@ object ScalingBench {
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1",
         "/tmp/graft_sf1")
+    // SPARK_GRAFT_SCALING_TARGETS=a,b restricts the query set — the
+    // 100x fixture is embeddings-only, so only the embedding-driven
+    // queries can run against it.
+    val run = sys.env.get("SPARK_GRAFT_SCALING_TARGETS")
+      .map(_.split(",").toSet.intersect(targets.toSet))
+      .getOrElse(targets.toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,7 +51,7 @@ object ScalingBench {
       try { Tables.table(spark, dirs.head, n).count() }
       catch { case _: Throwable => () })
     dirs.foreach { d =>
-      targets.sorted.foreach { q =>
+      run.toSeq.sorted.foreach { q =>
         def run(): (Double, Long) = {
           val t0 = System.nanoTime()
           val rows = SparkEntry.queries(q)(spark, d).count()

@@ -535,11 +535,7 @@ object Dedup {
       threshold: Double): DataFrame =
     Similarity.lshCandidates(s, d, nTables, bits, seed, nH1)
       .filter(col("v1") < col("v2"))
-      .withColumn("cos", round(
-        GraftFunctions.vecDot(col("ea"), col("eb"))
-          / sqrt(col("na") * col("nb")), 4))
       .filter(col("cos") >= threshold)
-      .select("v1", "v2", "cos")
       .dropDuplicates("v1", "v2")
       .orderBy("v1", "v2")
 

@@ -138,40 +138,82 @@ object Similarity {
     array((lit(0L) +: (0 until bits).map(i => lit(1L << i))).map(m =>
       col("bucket").bitwiseXOR(m)): _*)
 
-  /** Directed LSH candidate pairs (v1 → v2, v1 ≠ v2) from the shared
-    * bucket index: own-bucket join on every table, Hamming-1
-    * multi-probe on the first `nH1` tables. Pairs colliding in
-    * several tables appear once per collision — callers rank with
-    * dense_rank (ann) or dedup after the cheap filter (dedup), so no
-    * wide candidate `distinct()` exchange is ever needed.
+  /** Vector-attach strategy bound for [[lshCandidates]]: up to this
+    * many vectors (64-float rows, ~150 MB at the bound) the scoring
+    * joins BROADCAST the vector frame explicitly. Measured necessity
+    * at n = 200k (the 100x ScaleFixture point): the frame's scan
+    * estimate (~51 MB) crosses the planner's 10 MB auto-broadcast
+    * threshold, so the unhinted attach silently fell back to
+    * sort-merge — which sorts the ~n·1750 directed candidate rows
+    * and then SHUFFLES every candidate dragging two 64-float arrays
+    * (~0.5 kB/row, ~100 GB at 200k) into the second join's exchange.
+    * That filled the box's disk where the explicit-broadcast plan
+    * moves only narrow rows. Above the bound, [[lshCandidates]]
+    * switches to the wide-bucket-join plan (embeddings ride the
+    * bucket exchange — linear in n), so neither path ever shuffles
+    * an array per CANDIDATE. */
+  private[operators] val AttachBroadcastMaxRows = 500000L
+
+  /** Directed scored LSH candidate pairs (v1 → v2, v1 ≠ v2, cos
+    * rounded to 4dp) from the shared bucket index: own-bucket join on
+    * every table, Hamming-1 multi-probe on the first `nH1` tables.
+    * Pairs colliding in several tables appear once per collision —
+    * callers rank with dense_rank (ann) or dedup after the cheap
+    * filter (dedup), so no wide candidate `distinct()` exchange is
+    * ever needed.
     *
-    * Exchange discipline (round 9): the bucket join runs over NARROW
-    * (vec_id, tbl, bucket) rows — both the probe expansion and the
-    * shuffle move 16-byte codes, not 64-float arrays — and the
-    * embeddings re-attach AFTERWARDS with two unhinted joins against
-    * the persisted vector frame. At fixture scale the planner
-    * broadcasts the ~n-row vector side and the attach stays inside
-    * one codegen stage; at cluster scale both attaches are
-    * co-partitioned hash joins on the candidate keys — the candidate
-    * set is ~tables·occupancy·probes rows per query either way, so
-    * narrow-join-then-attach strictly reduces bytes moved vs
-    * shuffling array-carrying signature rows. */
+    * Exchange discipline (round 9, hardened round 15): the bucket
+    * join runs over NARROW (vec_id, tbl, bucket) rows and the
+    * embeddings attach AFTERWARDS via two EXPLICITLY broadcast joins
+    * — n ≤ [[AttachBroadcastMaxRows]] makes the pack bounded, and
+    * leaving the choice to the planner's 10 MB scan estimate is what
+    * let the n = 200k run silently sort-merge ~100 GB of
+    * array-carrying candidate rows (see the bound's doc). Past the
+    * bound (attachMaxRows, parameterized so specs can force it) the
+    * embeddings ride the bucket join itself on BOTH sides: probe and
+    * index rows carry their array through the (tbl, bucket)
+    * exchange — bytes linear in n·probes, not in candidates — and
+    * cos is computed inside the join projection, so only narrow
+    * (v1, v2, cos) rows ever leave the stage. Both paths produce
+    * identical values (SimilaritySpec pins equality). */
   private[operators] def lshCandidates(s: SparkSession, d: String,
-      nTables: Int, bits: Int, seed: Long, nH1: Int): DataFrame = {
+      nTables: Int, bits: Int, seed: Long, nH1: Int,
+      attachMaxRows: Long = AttachBroadcastMaxRows): DataFrame = {
     val sigs = lshBuckets(s, d, nTables, bits, seed)
-    val probes = sigs.select(col("vec_id").as("v1"), col("tbl"),
-      explode(when(col("tbl") < nH1, probeBuckets(bits))
-        .otherwise(array(col("bucket")))).as("bucket"))
-    val index = sigs.select(col("vec_id").as("v2"),
-      col("tbl"), col("bucket"))
     val v = vecs(s, d)
-    probes.join(index, Seq("tbl", "bucket"))
-      .filter(col("v1") =!= col("v2"))
-      .select("v1", "v2")
-      .join(v.select(col("vec_id").as("v1"), col("embedding").as("ea"),
-        col("nsq").as("na")), "v1")
-      .join(v.select(col("vec_id").as("v2"), col("embedding").as("eb"),
-        col("nsq").as("nb")), "v2")
+    val n = EngineConf.parquetRowCount(s, s"$d/embeddings.parquet")
+    def cosOf(ea: Column, na: Column, eb: Column, nb: Column): Column =
+      round(vecDot(ea, eb) / sqrt(na * nb), 4)
+    if (n <= attachMaxRows) {
+      val probes = sigs.select(col("vec_id").as("v1"), col("tbl"),
+        explode(when(col("tbl") < nH1, probeBuckets(bits))
+          .otherwise(array(col("bucket")))).as("bucket"))
+      val index = sigs.select(col("vec_id").as("v2"),
+        col("tbl"), col("bucket"))
+      probes.join(index, Seq("tbl", "bucket"))
+        .filter(col("v1") =!= col("v2"))
+        .select("v1", "v2")
+        .join(broadcast(v.select(col("vec_id").as("v1"),
+          col("embedding").as("ea"), col("nsq").as("na"))), "v1")
+        .join(broadcast(v.select(col("vec_id").as("v2"),
+          col("embedding").as("eb"), col("nsq").as("nb"))), "v2")
+        .select(col("v1"), col("v2"),
+          cosOf(col("ea"), col("na"), col("eb"), col("nb")).as("cos"))
+    } else {
+      val wide = sigs.join(
+        v.select(col("vec_id"), col("embedding"), col("nsq")), "vec_id")
+      val probes = wide.select(col("vec_id").as("v1"),
+        col("embedding").as("ea"), col("nsq").as("na"), col("tbl"),
+        explode(when(col("tbl") < nH1, probeBuckets(bits))
+          .otherwise(array(col("bucket")))).as("bucket"))
+      val index = wide.select(col("vec_id").as("v2"),
+        col("embedding").as("eb"), col("nsq").as("nb"),
+        col("tbl"), col("bucket"))
+      probes.join(index, Seq("tbl", "bucket"))
+        .filter(col("v1") =!= col("v2"))
+        .select(col("v1"), col("v2"),
+          cosOf(col("ea"), col("na"), col("eb"), col("nb")).as("cos"))
+    }
   }
 
   /** Shared LSH index config: ONE persisted bucket index (LshTables
@@ -381,9 +423,6 @@ object Similarity {
     val w = Window.partitionBy("v1")
       .orderBy(col("cos").desc, col("v2"))
     lshCandidates(s, d, nTables, bits, seed, nH1)
-      .withColumn("cos", round(
-        vecDot(col("ea"), col("eb")) / sqrt(col("na") * col("nb")), 4))
-      .select("v1", "v2", "cos")
       .withColumn("rk", dense_rank().over(w))
       .filter(col("rk") <= 3)
       .dropDuplicates("v1", "v2")

@@ -62,6 +62,30 @@ class SimilaritySpec extends SparkSpec {
         "doing more work than brute force")
   }
 
+  test("lshCandidates: wide-bucket-join path == broadcast-attach path") {
+    // The scale fallback must be value-identical to the fixture-scale
+    // plan: attachMaxRows = 0 forces the embeddings-ride-the-bucket-
+    // join path that n > AttachBroadcastMaxRows (500k vectors)
+    // selects in production, where explicit broadcast of the vector
+    // pack stops being bounded. Compare full scored candidate
+    // multisets (same pairs, same 4dp cosines, same per-collision
+    // multiplicities) at two SFs.
+    Seq(SparkSpec.sf0001, SparkSpec.sf001).foreach { sf =>
+      val n = EngineConf.parquetRowCount(spark, s"$sf/embeddings.parquet")
+      def multiset(attachMax: Long): Map[(Long, Long, Double), Int] =
+        Similarity.lshCandidates(spark, sf, Similarity.LshTables,
+          Similarity.lshBits(n), Similarity.LshSeed,
+          Similarity.AnnH1Tables, attachMaxRows = attachMax)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .groupBy(identity).view.mapValues(_.length).toMap
+      val broadcastPath = multiset(Long.MaxValue)
+      val widePath = multiset(0L)
+      assert(broadcastPath == widePath,
+        s"scored candidate multisets diverge between attach paths at $sf")
+    }
+  }
+
   test("ann_ivf probed fraction is bounded (and documented honest)") {
     // The probed-cell fraction IS the IVF cost knob: work/query ≈
     // fraction · n. Pin it so a future retune can't silently drift
