@@ -34,6 +34,26 @@ class IOSpec extends SparkSpec {
     assert(state() == after)
   }
 
+  test("memoized-setup queries: second in-session invocation returns" +
+      " the identical result") {
+    // source_bucketed_join memoizes the bucketed layout write and
+    // sink_upsert_merge the base snapshot write per (session, dir) —
+    // the declared ops are the shuffle-free join and the MERGE, not
+    // the setup I/O. The contract that makes memoization safe is
+    // that a SECOND invocation (merge replayed onto the already-
+    // merged target; join over the already-written layout) returns
+    // byte-identical rows — pin it, since Bench's pass2 and any
+    // long-lived session rely on exactly this.
+    Seq("source_bucketed_join", "sink_upsert_merge").foreach { q =>
+      val first = graft.SparkEntry.queries(q)(spark, SparkSpec.sf001)
+        .collect().map(_.mkString("|")).toSeq
+      val second = graft.SparkEntry.queries(q)(spark, SparkSpec.sf001)
+        .collect().map(_.mkString("|")).toSeq
+      assert(first.nonEmpty && first == second,
+        s"$q drifted between in-session invocations")
+    }
+  }
+
   test("orc roundtrip preserves schema exactly; filters push down") {
     val lineitem = graft.Tables.lineitem(spark, SparkSpec.sf0001)
       .select("l_orderkey", "l_quantity", "l_returnflag")
