@@ -64,8 +64,11 @@ object ScalingBench {
             f""""cold":$t1%.3f,"warm":$t2%.3f,"rows":$rows}""")
         } catch {
           case t: Throwable =>
+            val msg = (Option(t.getMessage) ++
+              Option(t.getCause).flatMap(c => Option(c.getMessage)))
+              .mkString(" <- ").replaceAll("[\"\\n]", " ").take(300)
             println(s"""SCALING {"dir":"$d","query":"$q","error":"""
-              + s""""${t.getClass.getSimpleName}"}""")
+              + s""""${t.getClass.getSimpleName}: $msg"}""")
         }
         Cache.clear(spark)
       }

@@ -30,12 +30,18 @@ object TimeIt {
       catch { case _: Throwable => () })
     names.foreach { n =>
       val ts = (1 to reps).map { _ =>
+        // Construction and action timed SEPARATELY: a query whose
+        // construction runs Spark jobs (cache-threshold counts, the
+        // ConstructionSpec whitelist) shows its split here, which
+        // Bench's single number can't.
         val t0 = System.nanoTime()
-        val rows = SparkEntry.queries(n)(spark, sfDir).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        f"$dt%.2f"
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        val t1 = System.nanoTime()
+        val rows = df.count()
+        val t2 = System.nanoTime()
+        f"${(t1 - t0) / 1e9}%.2f+${(t2 - t1) / 1e9}%.2f"
       }
-      println(f"$n%-28s ${ts.mkString("  ")}  s")
+      println(f"$n%-28s ${ts.mkString("  ")}  s (construct+action)")
     }
     spark.stop()
   }

@@ -158,12 +158,13 @@ object Dedup {
     // at 100-TB scale; AQE picks BHJ while it fits and degrades to a
     // shuffled equi-join on (band, h0, h1) beyond. The candidate
     // dedup is one tiny exchange over (d1, d2) pairs, and the Jaccard
-    // verify is two BROADCAST joins of the candidate set against the
-    // per-doc shingle-set rows with the intersection computed
-    // row-locally — candidates surviving banding are rare BY
-    // CONSTRUCTION (that is the point of banding), so broadcasting
-    // THEM holds at any corpus scale where near-dup pairs are a small
-    // fraction of docs.
+    // verify attaches the per-doc shingle sets with the intersection
+    // computed row-locally — broadcast joins up to a measured doc
+    // bound, co-partitioned hash joins past it (the NARROW candidate
+    // set is banding-bounded at any scale, but candidates JOINED
+    // WITH their shingle sets are corpus-content-sized: the 500k-doc
+    // fixture killed the old always-broadcast verify on the driver;
+    // see minhashPairsBuild).
     "dedup_minhash" -> ((s, d) =>
       minhashPairs(s, d).orderBy("d1", "d2")),
 
@@ -310,8 +311,8 @@ object Dedup {
       d: String): DataFrame =
     graft.Cache.cached(s, d, "dedup.pairs") { minhashPairsBuild(s, d) }
 
-  private def minhashPairsBuild(s: SparkSession,
-      d: String): DataFrame = {
+  private[operators] def minhashPairsBuild(s: SparkSession, d: String,
+      broadcastMaxDocs: Long = VerifyBroadcastMaxDocs): DataFrame = {
     // All 16 minhashes fold ROW-LOCALLY over the persisted per-doc
     // set (array_min over hash(x, i) — the same murmur3-of-(value,
     // seed-literal) the old min(hash(sh, i)) aggregate computed, so
@@ -337,11 +338,28 @@ object Dedup {
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
     val sets = shingleSets(s, d)
-    broadcast(broadcast(cand)
-        .join(sets.select(col("doc_id").as("d1"),
-          col("shset").as("set1")), "d1"))
-      .join(sets.select(col("doc_id").as("d2"),
-        col("shset").as("set2")), "d2")
+    // Verify-attach dispatch (the lshCandidates discipline, measured
+    // at the 100x fixture): the NARROW (d1, d2) candidate set is
+    // banding-bounded and broadcastable at any scale, but the old
+    // double-broadcast ALSO broadcast the candidates JOINED WITH
+    // their d1 shingle sets — candidates x ~KB string arrays, which
+    // is corpus-content-sized and died on the driver at 500k docs
+    // ("Not enough memory to build and broadcast"). Up to the row
+    // bound the set1-carrying side still broadcasts (fixture-scale
+    // fast path: zero exchanges); beyond it both attaches run as
+    // unhinted joins — the planner co-partitions candidates and the
+    // cached set frame on d1/d2, and the set1-carrying rows move
+    // through a SHUFFLE sized candidates x set bytes, distributed
+    // instead of driver-resident. DedupSpec pins path equality.
+    val nDocs = EngineConf.parquetRowCount(s, s"$d/documents.parquet")
+    val s1 = sets.select(col("doc_id").as("d1"), col("shset").as("set1"))
+    val s2 = sets.select(col("doc_id").as("d2"), col("shset").as("set2"))
+    val attached =
+      if (nDocs <= broadcastMaxDocs)
+        broadcast(broadcast(cand).join(s1, "d1")).join(s2, "d2")
+      else
+        cand.join(s1, "d1").join(s2, "d2")
+    attached
       .withColumn("inter",
         size(array_intersect(col("set1"), col("set2"))))
       .withColumn("jac", round(col("inter").cast("double")
@@ -349,6 +367,13 @@ object Dedup {
       .filter(col("jac") >= 0.8)
       .select("d1", "d2", "jac")
   }
+
+  /** Doc-count bound for [[minhashPairsBuild]]'s broadcast verify
+    * path: at 100k docs the planted-rate candidate set joined with
+    * its shingle sets is ~tens of MB (safe to broadcast); the 500k
+    * fixture measured it past the driver's broadcast build budget.
+    * Beyond the bound the verify joins run co-partitioned. */
+  private[operators] val VerifyBroadcastMaxDocs = 100000L
 
   /** Connected-component labels (n → min doc_id of its component)
     * over the symmetric MinHash pair graph, memoized per (session,

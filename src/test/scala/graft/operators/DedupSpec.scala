@@ -39,6 +39,20 @@ class DedupSpec extends SparkSpec {
     assert(got.values.forall(_ >= 0.8))
   }
 
+  test("minhash verify: co-partitioned attach path == broadcast path") {
+    // broadcastMaxDocs = 0 forces the join shape the 100x fixture
+    // (500k docs) selects in production, where broadcasting the
+    // set1-carrying candidate rows blew the driver's broadcast
+    // budget. Same verified pairs, same 4dp Jaccards, at two SFs.
+    Seq(SparkSpec.sf001, SparkSpec.sf01).foreach { sf =>
+      def pairs(maxDocs: Long): Seq[String] =
+        Dedup.minhashPairsBuild(spark, sf, broadcastMaxDocs = maxDocs)
+          .collect().map(_.mkString("|")).toSeq.sorted
+      assert(pairs(Long.MaxValue) == pairs(0L),
+        s"minhash verify paths diverge at $sf")
+    }
+  }
+
   test("dedup_simhash: exact dups have hamming 0; output sorted") {
     val rows = Dedup.queries("dedup_simhash")(spark, SparkSpec.sf01)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
