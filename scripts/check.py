@@ -152,16 +152,29 @@ def _bench_probes(path):
     with open(path) as f:
         rec = json.load(f)
     parsed = rec.get("parsed")
-    src = json.dumps(parsed) if isinstance(parsed, dict) else (rec.get("tail") or "")
+    if isinstance(parsed, dict):
+        # The normal r15+ case: the driver kept the parsed dict — read
+        # the fields directly. (The old path re-serialized with
+        # json.dumps, whose ", "-separated output never matched the
+        # no-space regex below, so seg_ratio was silently inert.)
+        seg = parsed.get("seg")
+        if not seg:
+            return (None, [], [])
+        return (int(seg),
+                [float(x) for x in (parsed.get("probes1") or [])],
+                [float(x) for x in (parsed.get("probes2") or [])])
+    # Tail fallback (parse failed but the fields survived truncation):
+    # Bench emits compact JSON, so no whitespace after ':' or ','.
+    src = rec.get("tail") or ""
     m = re.search(r'"seg":\s*(\d+)', src)
     if not m:
         return (None, [], [])
     seg = int(m.group(1))
     out = []
     for k in ("probes1", "probes2"):
-        mm = re.search(rf'"{k}":\[([0-9.,]*)\]', src)
+        mm = re.search(rf'"{k}":\s*\[([0-9., ]*)\]', src)
         out.append([float(x) for x in mm.group(1).split(",")]
-                   if mm and mm.group(1) else [])
+                   if mm and mm.group(1).strip() else [])
     return (seg, out[0], out[1])
 
 
@@ -305,8 +318,12 @@ def bench_history(repo_dir="."):
     def seg_ratio(name, kind):
         """cur/prev probe ratio for the segment `name` fell in, or
         None when either side lacks segment probes for that pass.
-        rep1 uses probes1 (cold pass), pass2/rep2 use probes2."""
-        if not (prev_seg and cur_seg):
+        rep1 uses probes1 (cold pass), pass2 uses probes2. rep2 is
+        NEVER normalized: Bench runs the rep2 re-times BETWEEN rep1
+        and pass2, before any probes2 shot is taken, so a pass2-era
+        load spike would wrongly deflate rep2 comparisons that ran
+        under different load (r15 advice)."""
+        if kind == "rep2" or not (prev_seg and cur_seg):
             return None
         prev_pr = prev_pr1 if kind == "rep1" else prev_pr2
         cur_pr = cur_pr1 if kind == "rep1" else cur_pr2
@@ -466,7 +483,11 @@ def snapshot_bench(repo_dir="."):
         if cur == full:
             print(f"snapshot-bench: {os.path.basename(dst)} already "
                   "exists and validates against the artifact anchors")
-            return 0
+            # Still run the quiet-gate: without this, a first run that
+            # wrote dst but FAILED the quiet gate (exit 1) would make
+            # every re-run return 0 here and permanently bypass the
+            # r15+ quiet requirement for the round (r15 advice).
+            return _snapshot_quiet(repo_dir, rnum)
         print(f"snapshot-bench: {os.path.basename(dst)} exists but "
               "does NOT match the validating source — rewriting")
     with open(dst, "w") as f:
@@ -485,10 +506,40 @@ def _snapshot_quiet(repo_dir, rnum):
     BASELINE.md trend aggregates). In-round quiet runs write their
     sidecar to BENCH_FULL_QUIET.json (SPARK_GRAFT_BENCH_FULL env
     override); this snapshots it per round. GATE (r15+): absent
-    quiet snapshot with no source fails the round."""
+    quiet snapshot with no source fails the round.
+
+    Staleness (r15 advice): the live sidecar is CONSUMED (deleted)
+    once snapshotted, so a leftover quiet run from round N can never
+    silently satisfy round N+1's gate and be persisted under the
+    wrong round number — each round's gate demands a fresh in-round
+    quiet run."""
     src = os.path.join(repo_dir, "BENCH_FULL_QUIET.json")
     dst = os.path.join(repo_dir, f"BENCH_FULL_r{rnum}_quiet.json")
     if os.path.exists(dst):
+        if os.path.exists(src):
+            # dst was written by an earlier invocation that predates
+            # the consume step (or a fresher in-round quiet run
+            # landed): re-validate, prefer the live sidecar, consume.
+            try:
+                with open(src) as f:
+                    quiet = json.load(f)
+                assert (quiet.get("pass2")
+                        and quiet.get("rep2_total") is not None)
+            except Exception as e:
+                print("snapshot-bench: GATE FAIL — quiet sidecar "
+                      f"unreadable: {e}")
+                return 1
+            with open(dst) as f:
+                cur = json.load(f)
+            if cur != quiet:
+                with open(dst, "w") as f:
+                    json.dump(quiet, f)
+                print(f"snapshot-bench: {os.path.basename(dst)} "
+                      "refreshed from a newer live quiet sidecar "
+                      f"(rep2_total {quiet.get('rep2_total')})")
+            os.remove(src)
+            print(f"snapshot-bench: consumed {os.path.basename(src)}")
+            return 0
         print(f"snapshot-bench: {os.path.basename(dst)} already exists")
         return 0
     if not os.path.exists(src):
@@ -509,8 +560,10 @@ def _snapshot_quiet(repo_dir, rnum):
         return 1
     with open(dst, "w") as f:
         json.dump(quiet, f)
+    os.remove(src)
     print(f"snapshot-bench: wrote {os.path.basename(dst)} "
-          f"(quiet rep2_total {quiet.get('rep2_total')})")
+          f"(quiet rep2_total {quiet.get('rep2_total')}); consumed "
+          f"{os.path.basename(src)}")
     return 0
 
 

@@ -354,8 +354,12 @@ object Similarity {
     * to last in the ascending struct sort. nanvl pins the ordering
     * key to -Infinity for NaN, preserving the max_by convention
     * (prk = 1 still lands on the NaN cell); the corner's pcos
-    * surfaces as +Infinity instead of NaN, which no downstream
-    * consumer reads (probe/member joins filter on prk only). */
+    * surfaces as +Infinity instead of NaN. The query path's
+    * probe/member joins filter on prk only and never read pcos, but
+    * IvfProbeStudy DOES (member_centroid_cos and the theta feed) —
+    * it stays safe only because it clamps with least(1.0, pcos)
+    * before acos; any new consumer of raw pcos must clamp the same
+    * way or re-surface the corner as NaN. */
   private[operators] def ivfRanked(s: SparkSession, d: String, k: Int,
       iters: Int): DataFrame =
     Cache.cached(s, d, s"sim.ivf.ranked.$k.$iters") {
