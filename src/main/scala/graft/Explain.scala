@@ -22,7 +22,7 @@ object Explain {
         "dedup_exact_fingerprint", "window_distinct_users",
         "geo_od_matrix", "text_contamination", "events_anomaly_mad",
         "events_retention", "geo_triangles", "pipeline_quality_filter")
-    val spark = SparkSession.builder()
+    val spark = EngineConf.tuned(SparkSession.builder())
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

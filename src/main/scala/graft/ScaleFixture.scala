@@ -53,7 +53,7 @@ object ScaleFixture {
     val which = (if (args.length > 3) args(3)
       else "events,documents,embeddings").split(",").toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = EngineConf.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

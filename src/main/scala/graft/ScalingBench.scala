@@ -39,7 +39,7 @@ object ScalingBench {
       .map(_.split(",").toSet.intersect(targets.toSet))
       .getOrElse(targets.toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = EngineConf.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

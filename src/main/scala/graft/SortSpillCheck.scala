@@ -38,7 +38,7 @@ object SortSpillCheck {
 
   private def session(forced: Boolean): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val b = SparkSession.builder()
+    val b = EngineConf.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .appName(s"graft-sortspill-${if (forced) "forced" else "base"}")
       .config("spark.sql.shuffle.partitions", cpus)

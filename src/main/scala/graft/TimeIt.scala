@@ -18,7 +18,7 @@ object TimeIt {
       else Seq("similarity_topk_per_query", "similarity_knn",
         "dedup_embed", "dedup_near", "dedup_minhash", "ann_lsh", "ann_ivf")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = EngineConf.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

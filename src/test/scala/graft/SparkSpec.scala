@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * startup dominates test wall-clock otherwise). */
 object SparkSpec {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
+    val s = EngineConf.tuned(SparkSession.builder())
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
