@@ -38,11 +38,14 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.ScaleFixture <srcDir> <dstDir> [factor=10]
   *          [tables=events,documents,embeddings]
   *
-  * The optional 4th arg restricts which tables are generated — the
-  * 100x point (factor=100) is embeddings-only: 200k vectors cost
-  * ~50 MB and validate the lshBits-grows-with-n occupancy model two
-  * decades off the graded fixture, while 100x events/documents
-  * would take minutes to build for curves already pinned at 10x.
+  * The optional 4th arg restricts which tables are generated, so
+  * each axis gets its own 100x fixture: embeddings (r15 — 200k
+  * vectors, the lshBits occupancy model), documents (r16 — 500k
+  * texts, the dedup/text family; generation is the sequential
+  * driver loop below, ~1 min), events (r16 — 10M rows, the history
+  * axis; note SCALING.md's saturation caveat — the shard shift's
+  * lat-phase period is 9, so co-presence pair IDENTITY stops
+  * growing past factor 9 while meeting counts keep scaling).
   */
 object ScaleFixture {
 
