@@ -43,11 +43,28 @@ import org.apache.spark.sql.functions._
   * vectors, the lshBits occupancy model), documents (r16 — 500k
   * texts, the dedup/text family; generation is the sequential
   * driver loop below, ~1 min), events (r16 — 10M rows, the history
-  * axis; note SCALING.md's saturation caveat — the shard shift's
-  * lat-phase period is 9, so co-presence pair IDENTITY stops
-  * growing past factor 9 while meeting counts keep scaling).
+  * axis). The events shard stride is [[posStride]] (smallest m ≥ n
+  * coprime to 36000), NOT n itself: with the raw row count the
+  * shard shift's lat phase (`n·7919 mod 18000`) can land in a small
+  * subgroup — at n = 100000, gcd = 2000 → period 9, so co-presence
+  * pair IDENTITY stopped growing past factor 9 (the r16 saturation
+  * caveat). A coprime stride walks the full 18000/36000 phase
+  * spaces, so each shard scatters positions on fresh phases and the
+  * pair set keeps growing with history, while per-cell density (the
+  * quadratic driver) stays constant by construction.
   */
 object ScaleFixture {
+
+  /** Smallest m ≥ n coprime to 36000 = lcm(18000, 36000), the
+    * lat/lon moduli of [[operators.GeoOps]]'s position derivation.
+    * Used as the per-shard event_id stride: ids stay unique
+    * (m ≥ n) and the shard shift visits all 18000 lat / 36000 lon
+    * phases instead of a gcd-sized subgroup. */
+  def posStride(n: Long): Long = {
+    var m = n
+    while (BigInt(m).gcd(BigInt(36000)) != BigInt(1)) m += 1
+    m
+  }
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -74,11 +91,11 @@ object ScaleFixture {
   private def events(spark: SparkSession, src: String, dst: String,
       factor: Int): Unit = {
     val ev = Tables.events(spark, src)
-    val n = ev.count()
+    val stride = posStride(ev.count())
     val shards = spark.range(factor).select(col("id").as("shard"))
     ev.crossJoin(shards)
       .select(
-        (col("event_id") + col("shard") * n).as("event_id"),
+        (col("event_id") + col("shard") * stride).as("event_id"),
         expr("timestampadd(DAY, cast(shard * 31 as int), ts)").as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
       .repartition(32)
