@@ -76,9 +76,6 @@ object Bench {
     Tables.names.foreach(n =>
       try { Tables.table(spark, sfDir, n).count() }
       catch { case _: Throwable => () })
-    val loadStart = loadavg()
-    val probeStart = microProbe(spark)
-
     // A throwing query must be VISIBLE in the artifact: BENCH_r10/r11
     // recorded 59 AnalysisException costs (~0.07 s) as if they were
     // query timings, so a breaking regression read as a speedup. A
@@ -117,6 +114,24 @@ object Bench {
       }
       (times, probes.toSeq)
     }
+    // Optional untimed full-suite passes BEFORE the timed reps
+    // (SPARK_GRAFT_BENCH_WARMUP=n; default 0 = the methodology every
+    // committed artifact was measured under). Rationale (r16
+    // KernelProbe): Spark compiles one generated class per plan and
+    // C2 only reaches steady state after ~3-4 invocations, so the
+    // codegen-heavy queries' pass2 reads the JIT ramp (~2.3 s for
+    // ann_ivf) instead of the plan cost (~0.57 s steady). With n ≥ 2,
+    // pass2 is invocation ≥ 4 of each generated class and tracks the
+    // plan. OPT-IN ONLY: flipping the default re-baselines the trend
+    // row, which is a round-boundary decision (PLANS.md r17 item 1);
+    // the artifact records the setting as "warmup":n so no run can be
+    // misread against the wrong methodology.
+    val warmupPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "0").toInt
+    (1 to warmupPasses).foreach { _ => runPass(); Cache.clear(spark) }
+    // load/probe capture sits AFTER the warmup passes so probe_start
+    // brackets the timed region, not the (optional) warmup.
+    val loadStart = loadavg()
+    val probeStart = microProbe(spark)
     val (rep1, probes1) = runPass()
     val top10 = rep1.sortBy(-_._2).take(10).map(_._1).sorted
     val rep2 = top10.map(n => n -> timed(n))
@@ -169,6 +184,7 @@ object Bench {
       s""""probes2":${arr(probes2)},""" +
       f""""load_start":$loadStart%.3f,"probe_start":$probeStart%.3f,""" +
       f""""load_end":$loadEnd%.3f,"probe_end":$probeEnd%.3f,""" +
+      s""""warmup":$warmupPasses,""" +
       s""""errors":$errJson,"error_count":${errors.size},""" +
       f""""rep2_total":$rep2Total%.3f,"value":$total%.3f}"""
     val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
