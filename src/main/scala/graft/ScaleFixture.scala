@@ -83,6 +83,7 @@ object ScaleFixture {
     if (which("events")) events(spark, src, dst, factor)
     if (which("documents")) documents(spark, src, dst, factor)
     if (which("embeddings")) embeddings(spark, src, dst, factor)
+    if (which("relational")) relational(spark, src, dst, factor)
     println(s"ScaleFixture: wrote ${which.toSeq.sorted.mkString("/")} "
       + s"x$factor to $dst")
     spark.stop()
@@ -100,6 +101,34 @@ object ScaleFixture {
         col("user_id"), col("event_type"), col("value"), col("props"))
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$dst/events.parquet")
+  }
+
+  /** TPC-H-style fact growth: N× orders and lineitem under the SAME
+    * date range and dimension tables (TPC-H holds dates at 1992-1998
+    * at every SF; dims here stay fixed too — the "more facts per
+    * entity" warehouse axis). Copy k offsets o_orderkey/l_orderkey by
+    * k·(maxKey+1), so the FK join keys stay aligned and unique;
+    * every other column replicates verbatim. Dims (region nation
+    * customer supplier part) copy through unchanged, so the dst dir
+    * is a COMPLETE catalog and the full 157-query suite can run
+    * against it (the pipeline tables come from the other axes). */
+  private def relational(spark: SparkSession, src: String, dst: String,
+      factor: Int): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      Tables.table(spark, src, t).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
+    }
+    val shards = spark.range(factor).select(col("id").as("shard"))
+    Seq(("orders", "o_orderkey", 16), ("lineitem", "l_orderkey", 32))
+      .foreach { case (t, key, parts) =>
+        val df = Tables.table(spark, src, t)
+        val stride = df.agg(max(col(key))).head().getLong(0) + 1L
+        val rest = df.columns.filterNot(_ == key).map(col).toSeq
+        df.crossJoin(shards)
+          .select((col(key) + col("shard") * stride).as(key) +: rest: _*)
+          .repartition(parts)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
+      }
   }
 
   private def documents(spark: SparkSession, src: String, dst: String,
