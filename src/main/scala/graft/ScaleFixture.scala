@@ -34,6 +34,10 @@ import org.apache.spark.sql.functions._
   *    Threshold ops (cos ≥ 0.45) are then quadratic in n BY
   *    GEOMETRY (random extremes: 144 pairs at n=2000 → ~100× at
   *    10×); SCALING.md reports output-normalized slopes for those.
+  *  - relational (opt-in via the tables arg): N× orders/lineitem
+  *    under the SAME date range and dimensions — the TPC-H/warehouse
+  *    fact-growth axis (see [[relational]]); adds the dims too, so
+  *    the dst dir becomes a complete catalog.
   *
   * Usage: runMain graft.ScaleFixture <srcDir> <dstDir> [factor=10]
   *          [tables=events,documents,embeddings]
