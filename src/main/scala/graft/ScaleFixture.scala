@@ -98,12 +98,12 @@ object ScaleFixture {
     val ev = Tables.events(spark, src)
     val stride = posStride(ev.count())
     val shards = spark.range(factor).select(col("id").as("shard"))
-    ev.crossJoin(shards)
+    // Base-side repartition, not post-expansion: see relational().
+    ev.repartition(32).crossJoin(broadcast(shards))
       .select(
         (col("event_id") + col("shard") * stride).as("event_id"),
         expr("timestampadd(DAY, cast(shard * 31 as int), ts)").as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
-      .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$dst/events.parquet")
   }
 
@@ -128,9 +128,13 @@ object ScaleFixture {
         val df = Tables.table(spark, src, t)
         val stride = df.agg(max(col(key))).head().getLong(0) + 1L
         val rest = df.columns.filterNot(_ == key).map(col).toSeq
-        df.crossJoin(shards)
+        // Repartition the BASE table (one small parquet file = 1-2
+        // read partitions) so the broadcast-crossJoin expansion runs
+        // parts-wide; the expanded rows then write in place — a
+        // post-expansion repartition would shuffle factor× the data
+        // (13 GB at 1000×) for nothing.
+        df.repartition(parts).crossJoin(broadcast(shards))
           .select((col(key) + col("shard") * stride).as(key) +: rest: _*)
-          .repartition(parts)
           .write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
       }
   }

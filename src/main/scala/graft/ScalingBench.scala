@@ -32,11 +32,14 @@ object ScalingBench {
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1",
         "/tmp/graft_sf1")
-    // SPARK_GRAFT_SCALING_TARGETS=a,b restricts the query set — the
-    // 100x fixture is embeddings-only, so only the embedding-driven
-    // queries can run against it.
+    // SPARK_GRAFT_SCALING_TARGETS=a,b overrides the query set — any
+    // DECLARED query is allowed (per-axis fixtures carry only some
+    // tables, e.g. the 100x embeddings dir can only run the
+    // embedding-driven queries; the relational axis needs queries
+    // outside the pipeline heavy tail). Unknown names are dropped
+    // rather than thrown so a typo can't kill a multi-dir run.
     val run = sys.env.get("SPARK_GRAFT_SCALING_TARGETS")
-      .map(_.split(",").toSet.intersect(targets.toSet))
+      .map(_.split(",").toSet.intersect(SparkEntry.queries.keySet))
       .getOrElse(targets.toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = EngineConf.tuned(SparkSession.builder())
