@@ -49,14 +49,25 @@ class ShapeInvarianceSpec extends SparkSpec {
   private def withShape[T](partitions: String, splitBytes: String)(
       body: => T): T = {
     val conf = spark.conf
+    // initialPartitionNum must track the shape too: EngineConf.tuned
+    // pins it at 256 (adaptive shuffle width, r16), which DECOUPLES
+    // the executed exchanges' bucket count from shuffle.partitions —
+    // without overriding it here both shapes would hash into 256
+    // buckets and the whole shuffle axis of this suite would be
+    // vacuous (the negative control below caught exactly that when
+    // the conf landed).
+    val initKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     val prevP = conf.get("spark.sql.shuffle.partitions")
     val prevS = conf.get("spark.sql.files.maxPartitionBytes")
+    val prevI = conf.get(initKey)
     conf.set("spark.sql.shuffle.partitions", partitions)
     conf.set("spark.sql.files.maxPartitionBytes", splitBytes)
+    conf.set(initKey, partitions)
     try body
     finally {
       conf.set("spark.sql.shuffle.partitions", prevP)
       conf.set("spark.sql.files.maxPartitionBytes", prevS)
+      conf.set(initKey, prevI)
     }
   }
 
