@@ -512,14 +512,43 @@ def _snapshot_quiet(repo_dir, rnum):
     once snapshotted, so a leftover quiet run from round N can never
     silently satisfy round N+1's gate and be persisted under the
     wrong round number — each round's gate demands a fresh in-round
-    quiet run."""
+    quiet run.
+
+    Round anchoring (r16 advice): once a VALID round-N snapshot is
+    committed, a live sidecar never overwrites it — a quiet run
+    executed for round N+1 before BENCH_r{N+1}.json lands would
+    otherwise be silently filed under round N. A live sidecar OLDER
+    than the valid snapshot is a consume-step leftover and is
+    consumed; a NEWER one is left in place for the next round's
+    snapshot. Only an unreadable/invalid dst is refreshed from the
+    live sidecar."""
     src = os.path.join(repo_dir, "BENCH_FULL_QUIET.json")
     dst = os.path.join(repo_dir, f"BENCH_FULL_r{rnum}_quiet.json")
     if os.path.exists(dst):
+        try:
+            with open(dst) as f:
+                cur = json.load(f)
+            dst_ok = bool(cur.get("pass2")) and \
+                cur.get("rep2_total") is not None
+        except Exception as e:
+            print(f"snapshot-bench: existing {os.path.basename(dst)} "
+                  f"unreadable ({e}) — will refresh from the live "
+                  "sidecar if one exists")
+            dst_ok = False
         if os.path.exists(src):
-            # dst was written by an earlier invocation that predates
-            # the consume step (or a fresher in-round quiet run
-            # landed): re-validate, prefer the live sidecar, consume.
+            if dst_ok:
+                # Valid committed snapshot wins; adjudicate the live
+                # sidecar by age instead of clobbering round N's record.
+                if os.path.getmtime(src) <= os.path.getmtime(dst):
+                    os.remove(src)
+                    print("snapshot-bench: consumed stale "
+                          f"{os.path.basename(src)} (older than the "
+                          f"committed r{rnum} snapshot, which stands)")
+                else:
+                    print(f"snapshot-bench: {os.path.basename(dst)} "
+                          "already valid; newer live sidecar left in "
+                          "place for the NEXT round's snapshot")
+                return 0
             try:
                 with open(src) as f:
                     quiet = json.load(f)
@@ -529,19 +558,21 @@ def _snapshot_quiet(repo_dir, rnum):
                 print("snapshot-bench: GATE FAIL — quiet sidecar "
                       f"unreadable: {e}")
                 return 1
-            with open(dst) as f:
-                cur = json.load(f)
-            if cur != quiet:
-                with open(dst, "w") as f:
-                    json.dump(quiet, f)
-                print(f"snapshot-bench: {os.path.basename(dst)} "
-                      "refreshed from a newer live quiet sidecar "
-                      f"(rep2_total {quiet.get('rep2_total')})")
+            with open(dst, "w") as f:
+                json.dump(quiet, f)
             os.remove(src)
-            print(f"snapshot-bench: consumed {os.path.basename(src)}")
+            print(f"snapshot-bench: {os.path.basename(dst)} was invalid "
+                  "— refreshed from the live quiet sidecar "
+                  f"(rep2_total {quiet.get('rep2_total')}); consumed "
+                  f"{os.path.basename(src)}")
             return 0
-        print(f"snapshot-bench: {os.path.basename(dst)} already exists")
-        return 0
+        if dst_ok:
+            print(f"snapshot-bench: {os.path.basename(dst)} already exists")
+            return 0
+        print("snapshot-bench: GATE FAIL — existing "
+              f"{os.path.basename(dst)} is invalid and no live quiet "
+              "sidecar exists to refresh it")
+        return 1
     if not os.path.exists(src):
         if int(rnum) >= 15:
             print("snapshot-bench: GATE FAIL — no quiet-box sidecar "

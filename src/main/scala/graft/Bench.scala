@@ -128,6 +128,12 @@ object Bench {
     // misread against the wrong methodology.
     val warmupPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "0").toInt
     (1 to warmupPasses).foreach { _ => runPass(); Cache.clear(spark) }
+    // Warmup failures must not stain the timed artifact: timed() shares
+    // the errors set with the untimed passes, so a query that fails only
+    // during warmup would land in errors/error_count and make a clean
+    // timed measurement read as a failing round (r16 advice). A query
+    // that also fails in a timed rep re-registers below.
+    errors.clear()
     // load/probe capture sits AFTER the warmup passes so probe_start
     // brackets the timed region, not the (optional) warmup.
     val loadStart = loadavg()

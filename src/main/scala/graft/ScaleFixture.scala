@@ -96,7 +96,14 @@ object ScaleFixture {
   private def events(spark: SparkSession, src: String, dst: String,
       factor: Int): Unit = {
     val ev = Tables.events(spark, src)
-    val stride = posStride(ev.count())
+    // Stride from max(event_id)+1, not the row count: shard id-blocks
+    // stay disjoint even on a sparse-id fixture (the relational axis
+    // already strides by max(key)+1 for the same reason; r16 advice).
+    // cast("long") tolerates any integral vintage; an empty table
+    // degenerates to stride posStride(1) and writes an empty shard set.
+    val maxId = Option(ev.agg(max(col("event_id").cast("long"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val stride = posStride(maxId + 1L)
     val shards = spark.range(factor).select(col("id").as("shard"))
     // Base-side repartition, not post-expansion: see relational().
     ev.repartition(32).crossJoin(broadcast(shards))
@@ -126,7 +133,12 @@ object ScaleFixture {
     Seq(("orders", "o_orderkey", 16), ("lineitem", "l_orderkey", 32))
       .foreach { case (t, key, parts) =>
         val df = Tables.table(spark, src, t)
-        val stride = df.agg(max(col(key))).head().getLong(0) + 1L
+        // cast("long") before max: the Tables schema contract accepts
+        // any integral key type, and Row.getLong would CCE on an
+        // int32/short vintage; Option handles the empty-table null
+        // (r16 advice). Empty input → stride 1, writes empty shards.
+        val stride = Option(df.agg(max(col(key).cast("long"))).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L) + 1L
         val rest = df.columns.filterNot(_ == key).map(col).toSeq
         // Repartition the BASE table (one small parquet file = 1-2
         // read partitions) so the broadcast-crossJoin expansion runs

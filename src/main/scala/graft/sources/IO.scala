@@ -81,7 +81,15 @@ object IO {
     * skips the parquet footer-inference job `spark.read.parquet`
     * would otherwise run per merge — at one merge per micro-batch
     * (the streaming upsert twin) that job is a scheduler round-trip
-    * paid every batch.
+    * paid every batch. Because the declared schema replaces
+    * inference, a physically different target (e.g. an int32 key
+    * where the updates declare long) would otherwise surface as a
+    * reader-dependent scan error mid-job — so one target footer is
+    * checked DRIVER-SIDE per merge (an FS open, not a Spark job):
+    * every updates column must exist in the target with an equal or
+    * losslessly widenable type (`Cast.canUpCast`, matching the
+    * Spark 4 vectorized reader's widening support), else the merge
+    * fails fast with a named-column error.
     */
   def upsertParquet(spark: SparkSession, targetPath: String,
       updates: DataFrame, keyCols: Seq[String],
@@ -99,6 +107,8 @@ object IO {
     val merged =
       if (!dstFs.exists(dstPath)) dedupedUpdates
       else {
+        assertUpsertTargetCompatible(hconf, dstFs, dstPath,
+          dedupedUpdates.schema)
         val target =
           spark.read.schema(dedupedUpdates.schema).parquet(targetPath)
         target.join(broadcast(dedupedUpdates.select(keyCols.map(col): _*)),
@@ -112,6 +122,50 @@ object IO {
     merged.write.mode("overwrite").parquet(tmp.toString)
     dstFs.delete(dstPath, true)
     dstFs.rename(tmp, dstPath)
+  }
+
+  /** Fail-fast guard for [[upsertParquet]]'s declared-schema read:
+    * reads ONE part-file footer on the driver (no job, no inference
+    * pass over the directory) and asserts every updates column exists
+    * in the target with an equal or `Cast.canUpCast`-widenable type.
+    * Matching is exact by name (the merge's unionByName is too). */
+  private def assertUpsertTargetCompatible(
+      hconf: org.apache.hadoop.conf.Configuration,
+      dstFs: org.apache.hadoop.fs.FileSystem,
+      dstPath: org.apache.hadoop.fs.Path,
+      expected: org.apache.spark.sql.types.StructType): Unit = {
+    val part = dstFs.listStatus(dstPath).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-")
+        && p.getName.endsWith(".parquet"))
+      .sortBy(_.getName).headOption
+    part.foreach { p =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
+      val fileSchema =
+        try {
+          new org.apache.spark.sql.execution.datasources.parquet
+            .ParquetToSparkSchemaConverter()
+            .convert(reader.getFooter.getFileMetaData.getSchema)
+        } finally reader.close()
+      val fileTypes = fileSchema.fields.map(f => f.name -> f.dataType).toMap
+      expected.fields.foreach { f =>
+        fileTypes.get(f.name) match {
+          case None => throw new IllegalArgumentException(
+            s"upsertParquet: target $dstPath lacks column '${f.name}' "
+              + "required by the updates schema (target columns: "
+              + fileSchema.fieldNames.mkString(", ") + ")")
+          case Some(t) if t != f.dataType
+              && !org.apache.spark.sql.catalyst.expressions.Cast
+                .canUpCast(t, f.dataType) =>
+            throw new IllegalArgumentException(
+              s"upsertParquet: target column '${f.name}' is stored as "
+                + s"$t, which is not readable as the updates' declared "
+                + s"${f.dataType}; rewrite the target or align the "
+                + "updates schema")
+          case _ =>
+        }
+      }
+    }
   }
 
   /** Persist as a bucketed + sorted managed table: co-locates rows by
