@@ -116,7 +116,8 @@ object Similarity {
     * candidates re-attach vectors afterwards ([[lshCandidates]]). */
   private[operators] def lshBuckets(s: SparkSession, d: String,
       nTables: Int, bits: Int, seed: Long): DataFrame =
-    Cache.cached(s, d, s"sim.lsh.$nTables.$bits.$seed") {
+    Cache.diskBacked(s, d, s"sim.lsh.$nTables.$bits.$seed",
+      "embeddings.parquet", Seq("tbl", "bucket")) {
       GraftFunctions.ensureRegistered(s)
       val flat: Seq[Double] = hyperplanes(nPlanes = nTables * bits,
         dim = 64, seed).flatMap(_._2)
@@ -362,7 +363,8 @@ object Similarity {
     * way or re-surface the corner as NaN. */
   private[operators] def ivfRanked(s: SparkSession, d: String, k: Int,
       iters: Int): DataFrame =
-    Cache.cached(s, d, s"sim.ivf.ranked.$k.$iters") {
+    Cache.diskBacked(s, d, s"sim.ivf.ranked.$k.$iters",
+      "embeddings.parquet", Seq("pcell")) {
       val packed = ivfMeans(s, d, k, iters)
         .agg(collect_list(struct(col("cell"), col("centroid"),
           col("cnsq"))).as("cents"))

@@ -31,6 +31,14 @@ class ConstructionSpec extends SparkSpec {
     // the broadcast-threshold-planner analogue; pair counts are
     // corpus-dependent, so no static bound can replace the count.
     "dedup_clusters" -> "pair-graph threshold count",
+    // The ANN index is an on-disk artifact (Cache.diskBacked, r17):
+    // the FIRST construction per process builds and writes it — the
+    // indexing job a real deployment runs once — and every later
+    // construction re-opens the bucketed table with zero jobs
+    // (DiskIndexSpec pins both halves).
+    "ann_lsh" -> "one-time LSH index build + write",
+    "ann_ivf" -> "one-time IVF index build + write",
+    "dedup_embed_ann" -> "one-time LSH index build + write",
     // The roundtrip/layout queries' SEMANTICS are "write this
     // layout, read it back": the write (and the re-read's schema
     // inference over scratch files) is the operator under test.

@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.{Cache, SparkEntry, SparkSpec}
+import org.apache.spark.GraftTestBus
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** The on-disk index layer (Cache.diskBacked, r17): the ANN indexes
+  * are persisted as bucketed external parquet tables, so only the
+  * FIRST entry per process pays the build — every later entry (after
+  * a cache clear, or under a fresh catalog) re-opens the artifact.
+  * This is the deployment shape at 100 TB: an indexing job writes
+  * once, query jobs read. These specs pin each half of that contract
+  * plus the staleness and plan-shape properties the artifact claims.
+  */
+class DiskIndexSpec extends SparkSpec {
+
+  private val scratch = s"/tmp/graft_diskidx_spec/p${ProcessHandle.current().pid()}"
+
+  private def writeSource(dir: String, rows: Long): Unit =
+    spark.range(rows).select(col("id"), (col("id") % 7).as("k"))
+      .write.mode("overwrite").parquet(s"$dir/emb.parquet")
+
+  /** A counting build over the synthetic source: `builds` tells the
+    * spec whether an entry re-ran the lineage or read the artifact. */
+  private class Fixture(tag: String) {
+    val dir = s"$scratch/$tag"
+    writeSource(dir, 100)
+    var builds = 0
+    def frame = Cache.diskBacked(spark, dir, s"test.idx.$tag",
+        "emb.parquet", Seq("k"), buckets = 4) {
+      builds += 1
+      spark.read.parquet(s"$dir/emb.parquet")
+        .groupBy("k").agg(count(lit(1)).as("n"), sum("id").as("s"))
+    }
+    def tableName: String = spark.catalog.listTables().collect()
+      .map(_.name).find(_.endsWith(s"test_idx_$tag"))
+      .getOrElse(fail(s"no catalog table registered for $tag"))
+  }
+
+  test("first entry builds once; re-entry after clear() reads the " +
+      "artifact with the same values and zero rebuilds") {
+    val fx = new Fixture("a")
+    val r1 = fx.frame.orderBy("k").collect().map(_.toSeq).toSeq
+    assert(fx.builds == 1)
+    // Same-session re-entry: memoized, no second ensure pass needed.
+    fx.frame.count()
+    assert(fx.builds == 1)
+    Cache.clear(spark, "test.idx.a")
+    val r2 = fx.frame.orderBy("k").collect().map(_.toSeq).toSeq
+    assert(fx.builds == 1,
+      "re-entry after clear() must read the artifact, not rebuild")
+    assert(r1 == r2)
+  }
+
+  test("re-entry is job-free at construction (the warm query path " +
+      "schedules a scan, never an index build)") {
+    val fx = new Fixture("b")
+    fx.frame.count() // build + write
+    Cache.clear(spark, "test.idx.b")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    GraftTestBus.waitUntilEmpty(spark.sparkContext)
+    spark.sparkContext.addSparkListener(l)
+    try {
+      fx.frame // construction only — re-opens the table
+      GraftTestBus.waitUntilEmpty(spark.sparkContext)
+      assert(jobs.get == 0,
+        s"artifact re-entry scheduled ${jobs.get} job(s) at construction")
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(fx.builds == 1)
+  }
+
+  test("a fresh catalog re-attaches to the files via DDL — bucketed, " +
+      "no rebuild (the new-SparkContext path within one process)") {
+    val fx = new Fixture("c")
+    val r1 = fx.frame.orderBy("k").collect().map(_.toSeq).toSeq
+    val tbl = fx.tableName
+    // Simulate the fresh-catalog case: the files and meta survive,
+    // the catalog entry does not.
+    spark.sql(s"DROP TABLE $tbl")
+    Cache.clear(spark, "test.idx.c")
+    val r2 = fx.frame.orderBy("k").collect().map(_.toSeq).toSeq
+    assert(fx.builds == 1, "catalog re-attach must not rebuild")
+    assert(r1 == r2)
+    val desc = spark.sql(s"DESCRIBE EXTENDED ${fx.tableName}")
+      .collect().map(_.toString).mkString("\n")
+    assert(desc.contains("Num Buckets") && desc.contains("4"),
+      s"re-attached table lost its bucket spec:\n$desc")
+  }
+
+  test("a changed source fingerprint invalidates the artifact and " +
+      "rebuilds (regenerated fixtures can never read a stale index)") {
+    val fx = new Fixture("d")
+    fx.frame.count()
+    assert(fx.builds == 1)
+    writeSource(fx.dir, 50) // different rows → different bytes
+    Cache.clear(spark, "test.idx.d")
+    val total = fx.frame.agg(sum("n")).head().getLong(0)
+    assert(fx.builds == 2, "stale artifact must rebuild")
+    assert(total == 50L, "rebuild must reflect the NEW source")
+  }
+
+  test("ann_ivf probe join reads both sides from the pcell-bucketed " +
+      "artifact: bucketed scans, no exchange under the candidate join") {
+    // Force the artifact to exist (first construction may build).
+    SparkEntry.queries("ann_ivf")(spark, SparkSpec.sf001).count()
+    val p = SparkEntry.queries("ann_ivf")(spark, SparkSpec.sf001)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("Bucketed: true"),
+      s"expected bucketed index scans in:\n$p")
+    // Probe side (prk <= nprobe) and member side (prk = 1) both scan
+    // the artifact, so the candidate join itself needs no shuffle
+    // exchange (at fixture scale the planner broadcasts the member
+    // side; at scale the pcell bucketing co-locates both sides). The
+    // ≤ 4 budget is: top-k window + presentation sort (the warm
+    // path's only shuffles) + 2 from the one-time vecs cache-BUILD
+    // lineage (its repartition renders inside the InMemoryTableScan
+    // sections but never re-executes warm). What must NOT appear is
+    // a 5th exchange shuffling candidates into the join.
+    val shuffles = p.linesIterator
+      .count(_.trim.matches("\\(\\d+\\) Exchange"))
+    assert(shuffles <= 4,
+      s"ann_ivf grew a candidate-join shuffle, saw $shuffles:\n$p")
+  }
+}
