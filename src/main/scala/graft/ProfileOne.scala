@@ -81,7 +81,13 @@ object ProfileOne {
               qe: org.apache.spark.sql.execution.QueryExecution,
               e: Exception): Unit = ()
         })
+    // SPARK_GRAFT_RELEASE=<cache prefix>: clear that cache group
+    // before each warm rep, modelling Bench's release schedule (a
+    // pass2 number includes the group's rebuild — profiling with the
+    // cache warm attributes a different query).
+    val release = sys.env.get("SPARK_GRAFT_RELEASE")
     (1 to reps).foreach { r =>
+      release.foreach(p => Cache.clear(spark, p))
       spark.sparkContext.getRDDStorageInfo.foreach(i =>
         println(s"  [storage] rdd ${i.id} " +
           s"${i.numCachedPartitions}/${i.numPartitions} cached " +

@@ -204,17 +204,19 @@ object ScaleFixture {
 
   private def embeddings(spark: SparkSession, src: String, dst: String,
       factor: Int): Unit = {
-    val n = Tables.embeddings(spark, src).count().toInt * factor
-    val rows = (0 until n).map { id =>
+    val n = Tables.embeddings(spark, src).count() * factor
+    // Distributed deterministic generation: every value is a pure
+    // function of vec_id (per-id seeded PRNG, same draw order as the
+    // original driver-side form), so partitioning cannot change the
+    // fixture — and the driver no longer materializes the whole
+    // vector set (~1.2 GB of boxed rows at factor 1000).
+    import spark.implicits._
+    spark.range(n).repartition(32).map { id =>
       val rnd = new scala.util.Random(7919L * id + 31)
       val raw = Array.fill(64)(rnd.nextGaussian())
       val norm = math.sqrt(raw.map(x => x * x).sum)
-      (id.toLong, raw.map(x => (x / norm).toFloat).toSeq,
-        rnd.nextInt(10).toLong)
-    }
-    spark.createDataFrame(rows)
-      .toDF("vec_id", "embedding", "label")
-      .repartition(8)
+      (id, raw.map(x => (x / norm).toFloat).toSeq, rnd.nextInt(10).toLong)
+    }.toDF("vec_id", "embedding", "label")
       .write.mode(SaveMode.Overwrite).parquet(s"$dst/embeddings.parquet")
   }
 }

@@ -113,11 +113,23 @@ object Similarity {
     * The index row deliberately does NOT carry the embedding: the
     * bucket join shuffles on (tbl, bucket), and a 16-byte code row
     * exchanges ~60× cheaper than one dragging the 64-float array —
-    * candidates re-attach vectors afterwards ([[lshCandidates]]). */
+    * candidates re-attach vectors afterwards ([[lshCandidates]]).
+    *
+    * Disk-backed since r17 ([[graft.Cache.diskBacked]], clustered by
+    * vec_id): the index is an on-disk artifact built once per
+    * process — a released cache re-OPENS it instead of re-running
+    * the signature pass, which is what a deployment's indexing-job /
+    * query-job split does. vec_id bucketing (not (tbl, bucket)) is
+    * the measured choice: it keeps each query vector's probe rows in
+    * ONE partition, so the top-k window's map-side WindowGroupLimit
+    * still collapses candidates before the exchange (a (tbl,bucket)
+    * layout scattered v1 and re-inflated that shuffle 28k → 126k
+    * records), and at wide-path scale the sigs ⋈ vecs attach is
+    * co-keyed on vec_id. */
   private[operators] def lshBuckets(s: SparkSession, d: String,
       nTables: Int, bits: Int, seed: Long): DataFrame =
     Cache.diskBacked(s, d, s"sim.lsh.$nTables.$bits.$seed",
-      "embeddings.parquet", Seq("tbl", "bucket")) {
+      "embeddings.parquet", Seq("vec_id")) {
       GraftFunctions.ensureRegistered(s)
       val flat: Seq[Double] = hyperplanes(nPlanes = nTables * bits,
         dim = 64, seed).flatMap(_._2)
@@ -360,11 +372,25 @@ object Similarity {
     * IvfProbeStudy DOES (member_centroid_cos and the theta feed) —
     * it stays safe only because it clamps with least(1.0, pcos)
     * before acos; any new consumer of raw pcos must clamp the same
-    * way or re-surface the corner as NaN. */
+    * way or re-surface the corner as NaN.
+    *
+    * Disk-backed since r17 ([[graft.Cache.diskBacked]], clustered by
+    * vec_id): a released cache re-opens the table instead of
+    * re-running the Lloyd + ranking build (the r16-measured ~2 s of
+    * ann_ivf's warm 2.57 s). vec_id bucketing keeps a vector's
+    * probed-cell rows in one partition, so the candidate join's
+    * output stays v1-local through the broadcast member side and the
+    * top-k window's map-side WindowGroupLimit keeps collapsing
+    * candidates before the exchange (a pcell layout scattered v1 and
+    * re-inflated that shuffle to the full candidate set — measured
+    * 28k → 126k records); it also co-keys ivfIndex's vec attach.
+    * The artifact is O(n·k) rows; a 100-TB deployment persists only
+    * prk ≤ nprobe (the probed fraction) — full k per vector is kept
+    * here because the sweep tools re-rank at other nprobe values. */
   private[operators] def ivfRanked(s: SparkSession, d: String, k: Int,
       iters: Int): DataFrame =
     Cache.diskBacked(s, d, s"sim.ivf.ranked.$k.$iters",
-      "embeddings.parquet", Seq("pcell")) {
+      "embeddings.parquet", Seq("vec_id")) {
       val packed = ivfMeans(s, d, k, iters)
         .agg(collect_list(struct(col("cell"), col("centroid"),
           col("cnsq"))).as("cents"))

@@ -106,23 +106,23 @@ class DiskIndexSpec extends SparkSpec {
     assert(total == 50L, "rebuild must reflect the NEW source")
   }
 
-  test("ann_ivf probe join reads both sides from the pcell-bucketed " +
-      "artifact: bucketed scans, no exchange under the candidate join") {
+  test("ann_ivf reads the vec_id-bucketed artifact: no index build in " +
+      "the query plan and no candidate-join shuffle") {
     // Force the artifact to exist (first construction may build).
     SparkEntry.queries("ann_ivf")(spark, SparkSpec.sf001).count()
     val p = SparkEntry.queries("ann_ivf")(spark, SparkSpec.sf001)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
-    assert(p.contains("Bucketed: true"),
-      s"expected bucketed index scans in:\n$p")
+    assert(p.contains("graft_idx_"),
+      s"expected the on-disk index table in the plan:\n$p")
     // Probe side (prk <= nprobe) and member side (prk = 1) both scan
-    // the artifact, so the candidate join itself needs no shuffle
-    // exchange (at fixture scale the planner broadcasts the member
-    // side; at scale the pcell bucketing co-locates both sides). The
-    // ≤ 4 budget is: top-k window + presentation sort (the warm
-    // path's only shuffles) + 2 from the one-time vecs cache-BUILD
-    // lineage (its repartition renders inside the InMemoryTableScan
-    // sections but never re-executes warm). What must NOT appear is
-    // a 5th exchange shuffling candidates into the join.
+    // the artifact; the member side broadcasts, so the candidate
+    // join needs no shuffle exchange and candidates stay v1-local
+    // for the top-k window's map-side group limit. The ≤ 4 budget
+    // is: top-k window + presentation sort (the warm path's only
+    // shuffles) + 2 from the one-time vecs cache-BUILD lineage (its
+    // repartition renders inside the InMemoryTableScan sections but
+    // never re-executes warm). What must NOT appear is a 5th
+    // exchange shuffling candidates into the join.
     val shuffles = p.linesIterator
       .count(_.trim.matches("\\(\\d+\\) Exchange"))
     assert(shuffles <= 4,

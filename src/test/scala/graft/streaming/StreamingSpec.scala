@@ -138,6 +138,37 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.mkString("|")).toSeq.sorted
   }
 
+  test("stateful voyages state is O(active vessels): one state row per" +
+      " vessel, never per event") {
+    // The 100-TB sizing claim behind every flatMapGroupsWithState
+    // twin: state grows with the KEY count, not the event count. Feed
+    // all sf0.001 events (thousands of rows) across two micro-batches
+    // and read the state-store row count from the query progress — it
+    // must equal the number of distinct vessels exactly (one open
+    // VoyageState each; voyages close by UPDATING state, not adding).
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val (b1, b2) = batchEvents.splitAt(batchEvents.length / 2)
+    val ms = MemoryStream[Ev]
+    val q = Streams.statefulVoyages(ms.toDF().as[EventRow]).writeStream
+      .format("memory").queryName("t_voystate").outputMode("append").start()
+    val stateRows =
+      try {
+        ms.addData(b1); q.processAllAvailable()
+        ms.addData(b2); q.processAllAvailable()
+        q.recentProgress.toSeq
+          .filter(_.stateOperators.nonEmpty)
+          .map(_.stateOperators.head.numRowsTotal)
+      } finally q.stop()
+    val vessels = batchEvents.map(_.user_id).distinct.size.toLong
+    assert(stateRows.nonEmpty)
+    assert(stateRows.last == vessels,
+      s"state rows ${stateRows.last} != vessel count $vessels")
+    assert(stateRows.max <= vessels,
+      s"state transiently exceeded the vessel count: $stateRows")
+  }
+
   test("stateful voyages: closed-voyage OD stream == batch collapse," +
       " across batches") {
     val s = spark
