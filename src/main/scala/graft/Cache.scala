@@ -134,7 +134,11 @@ object Cache {
     val table = s"graft_idx_${san(dir)}_${san(name)}"
     val dataPath = s"$root/data"
     val metaPath = java.nio.file.Paths.get(s"$root/meta")
-    val fp = fingerprint(s, s"$dir/$sourceTable")
+    // "v2:" = artifact LAYOUT version (one file per bucket since the
+    // writeBucketed repartition fix) — bumping it invalidates
+    // artifacts written under an older layout even when the source
+    // fingerprint still matches.
+    val fp = "v2:" + fingerprint(s, s"$dir/$sourceTable")
     val meta =
       if (java.nio.file.Files.exists(metaPath))
         Some(new String(java.nio.file.Files.readAllBytes(metaPath),

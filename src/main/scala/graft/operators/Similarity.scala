@@ -164,8 +164,23 @@ object Similarity {
     * moves only narrow rows. Above the bound, [[lshCandidates]]
     * switches to the wide-bucket-join plan (embeddings ride the
     * bucket exchange — linear in n), so neither path ever shuffles
-    * an array per CANDIDATE. */
-  private[operators] val AttachBroadcastMaxRows = 500000L
+    * an array per CANDIDATE.
+    *
+    * Bound sizing (raised 500k → 4M in r17 for the third embeddings
+    * decade): a vector row is ~300 B (64 floats + key + norm), so
+    * the broadcast hash relation is ~n·300 B·~1.3 overhead — ~160 MB
+    * at 500k, ~1.6 GB at the 4M bound. One copy per EXECUTOR (not
+    * per task), which any deployment running ANN over ≥2M vectors
+    * has the headroom for — it is the same "replicate the vectors,
+    * stream the candidates" layout an in-RAM ANN service uses, and
+    * the r17 2M-vector measurement showed the alternative is far
+    * worse: the wide path's probe-side exchange carries
+    * n·probes·300 B of arrays (~97 GB at 2M with Hamming-1 probing),
+    * two orders past the vector set itself. Past THIS bound the
+    * wide plan still takes over, but its own exchange math says the
+    * real >4M design is index sharding (queries replicate, index
+    * partitions) — declared out of scope for a single box. */
+  private[operators] val AttachBroadcastMaxRows = 4000000L
 
   /** Directed scored LSH candidate pairs (v1 → v2, v1 ≠ v2, cos
     * rounded to 4dp) from the shared bucket index: own-bucket join on
