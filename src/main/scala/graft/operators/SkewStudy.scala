@@ -36,12 +36,24 @@ object SkewStudy {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.adaptive.OptimizeSkewedJoin",
+        org.apache.logging.log4j.Level.DEBUG)
 
     val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    val maxTaskReadB = new java.util.concurrent.atomic.AtomicLong(0)
+    val readB = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         if (t.taskInfo != null)
           maxTaskMs.getAndUpdate(m => math.max(m, t.taskInfo.duration))
+        if (t.taskMetrics != null) {
+          val b = t.taskMetrics.shuffleReadMetrics.totalBytesRead
+          maxTaskReadB.getAndUpdate(m => math.max(m, b))
+          if (b > 0) readB.add(b)
+          ()
+        }
         ()
       }
     })
@@ -85,19 +97,39 @@ object SkewStudy {
       j.agg(count(lit(1)).as("n"), sum("l_quantity").as("sq"),
         sum("w").as("sw"))
 
+    val only = args.drop(1).headOption.map(_.split(",").toSet)
     def run(name: String)(mk: => DataFrame): Unit = {
-      var wall = 0.0
-      (1 to 2).foreach { _ =>
-        val df = mk
-        val t0 = System.nanoTime()
-        maxTaskMs.set(0)
-        df.count()
-        wall = (System.nanoTime() - t0) / 1e9
+      if (only.exists(!_.contains(name))) return
+      try {
+        var wall = 0.0
+        (1 to 2).foreach { _ =>
+          val df = mk
+          val t0 = System.nanoTime()
+          maxTaskMs.set(0); maxTaskReadB.set(0); readB.clear()
+          df.count()
+          wall = (System.nanoTime() - t0) / 1e9
+        }
+        Thread.sleep(800) // drain async QueryExecutionListener delivery
+        val skewFired = lastPlan.get.contains("skew=true")
+        val reads = readB.toArray(Array.empty[java.lang.Long])
+          .map(_.longValue).sorted
+        val medRd = if (reads.nonEmpty) reads(reads.length / 2) else 0L
+        println(f"$name%-22s warm=$wall%7.2f s  "
+          + f"maxTask=${maxTaskMs.get / 1e3}%6.2f s  "
+          + f"maxTaskShRd=${maxTaskReadB.get / 1e6}%7.1f MB  "
+          + f"medTaskShRd=${medRd / 1e6}%6.1f MB  "
+          + f"aqeSkewSplit=$skewFired")
+        if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+          println(s"== $name executed plan ==\n"
+            + lastPlan.get.linesIterator
+              .filter(l => l.contains("Join") || l.contains("Exchange")
+                || l.contains("AQEShuffleRead"))
+              .mkString("\n").take(4000))
+      } catch {
+        case t: Throwable =>
+          println(s"$name FAILED: ${t.getClass.getName}: "
+            + Option(t.getMessage).getOrElse("").take(300))
       }
-      Thread.sleep(800) // drain async QueryExecutionListener delivery
-      val skewFired = lastPlan.get.contains("skew=true")
-      println(f"$name%-22s warm=$wall%7.2f s  "
-        + f"maxTask=${maxTaskMs.get / 1e3}%6.2f s  aqeSkewSplit=$skewFired")
     }
 
     println(s"SkewStudy on $d (cpus=$cpus, shipped conf)")
@@ -106,7 +138,43 @@ object SkewStudy {
     }
     run("graded_plain") { gradedAgg(li.join(sup, "l_suppkey")) }
     run("hot_plain_aqe") { hotAgg(fact.join(dim, "k")) }
+    // Same join under a LOWERED skew byte-threshold: the default
+    // 256 MB misses this straggler because 30M narrow rows compress
+    // to ~200 MB — the skew is in rows/compute, not bytes. Aligning
+    // the threshold with the 64 MB advisory split size lets
+    // OptimizeSkewedJoin see what the task clock sees.
+    run("hot_aqe_tuned") {
+      // The hot block is one constant key — it compresses ~3x better
+      // than the uniform partitions, so its BYTE ratio (~4-5x median)
+      // hides a 12x task-time straggler from the default factor-5 /
+      // 256 MB detector. factor 2 + threshold = advisory makes the
+      // byte detector see what the task clock sees.
+      // Measured: the 32M-row hot partition READS only 63.7 MB (the
+      // constant-key block dictionary/RLE-compresses ~8x), so even a
+      // 64 MB threshold misses a 25 s straggler by 0.3 MB. 32 MB +
+      // factor 2 makes the byte detector see it; the split target
+      // stays the 64 MB advisory.
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "32MB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "64MB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "2.0")
+      val df = hotAgg(fact.join(dim, "k"))
+      df
+    }
+    // Sort-free alternative: the straggler's cost is the SMJ SORT of
+    // a row-dense (compression-skewed) partition, so a shuffled HASH
+    // join (build the 4M-row dim per partition, stream the fact)
+    // removes the per-row log-factor entirely — no detector needed.
+    run("hot_shj") {
+      hotAgg(fact.join(dim.hint("shuffle_hash"), "k"))
+    }
     run("hot_salted") {
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "256MB") // back to default for the salted arm
       hotAgg(Skew.saltedJoin(fact.drop("l_suppkey"), dim, "k",
         "l_orderkey", 16))
     }
