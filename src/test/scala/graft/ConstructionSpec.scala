@@ -30,7 +30,14 @@ class ConstructionSpec extends SparkSpec {
     // ccFixedPoint's bounded-path dispatch counts the pair graph —
     // the broadcast-threshold-planner analogue; pair counts are
     // corpus-dependent, so no static bound can replace the count.
-    "dedup_clusters" -> "pair-graph threshold count",
+    // Since r17 the first construction may also build + write the
+    // pair-graph disk artifact (sorted first in the dedup family, it
+    // is the one that pays the indexing job).
+    "dedup_clusters" -> "pair-graph threshold count + one-time pair index write",
+    // If constructed before dedup_clusters in a fresh process (spec
+    // order is sorted, but other suites construct queries directly),
+    // the pair-graph artifact build lands here instead.
+    "dedup_minhash" -> "one-time pair index build + write",
     // The ANN index is an on-disk artifact (Cache.diskBacked, r17):
     // the FIRST construction per process builds and writes it — the
     // indexing job a real deployment runs once — and every later
