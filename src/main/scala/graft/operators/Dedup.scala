@@ -324,7 +324,7 @@ object Dedup {
     graft.Cache.diskBacked(s, d, "dedup.pairs", "documents.parquet",
       Seq("d1")) { minhashPairsBuild(s, d) }
 
-  private[operators] def minhashPairsBuild(s: SparkSession, d: String,
+  private[graft] def minhashPairsBuild(s: SparkSession, d: String,
       broadcastMaxDocs: Long = VerifyBroadcastMaxDocs): DataFrame = {
     // All 16 minhashes fold ROW-LOCALLY over the persisted per-doc
     // set (array_min over hash(x, i) — the same murmur3-of-(value,

@@ -81,15 +81,25 @@ class PlanSpec extends SparkSpec {
     assert(shuffleExchanges(plan("stream_session")) <= 2)
   }
 
-  test("dedup_minhash: the candidate-verify joins broadcast") {
-    // Pins ONLY the two shingle-set verify joins (tiny candidate set
-    // broadcast against per-doc set rows). The band self-join is
-    // deliberately unpinned: its input is n·8 rows, so the planner
-    // must stay free to degrade it from BHJ to a shuffled join as the
-    // corpus grows — banning SortMergeJoin plan-wide would freeze a
-    // non-scalable choice into CI.
+  test("dedup_minhash: query reads the pair artifact; the indexing " +
+      "job's candidate-verify joins broadcast") {
+    // Since r17 the verified pair graph is an on-disk artifact
+    // (Cache.diskBacked), so the QUERY plan is an artifact scan plus
+    // the presentation sort — no join at all.
     val p = plan("dedup_minhash")
-    assert(countOf(p, "BroadcastHashJoin") >= 2)
+    assert(p.contains("graft_idx_"),
+      s"query path should scan the pair-graph artifact:\n$p")
+    // The INDEXING job keeps the verify-attach discipline: the two
+    // shingle-set verify joins broadcast the tiny candidate set
+    // against per-doc set rows. The band self-join stays deliberately
+    // unpinned: its input is n·8 rows, so the planner must stay free
+    // to degrade it from BHJ to a shuffled join as the corpus grows —
+    // banning SortMergeJoin plan-wide would freeze a non-scalable
+    // choice into CI.
+    val bp = graft.operators.Dedup
+      .minhashPairsBuild(spark, SparkSpec.sf001)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(countOf(bp, "BroadcastHashJoin") >= 2)
   }
 
   test("dedup_exact_fingerprint: collision verify joins broadcast") {
