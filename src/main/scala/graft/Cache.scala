@@ -82,15 +82,43 @@ object Cache {
     * where BOTH probe and member sides derive from the same artifact,
     * the probe join needs no shuffle at all.
     *
-    * Freshness: a one-line meta file pins the artifact to a
-    * fingerprint (file count : bytes : max mtime) of the source
-    * parquet it was derived from — a regenerated fixture rebuilds,
-    * same-source re-entry reads. The scratch path is per-PID (the
-    * round-8 concurrency discipline: parallel sbt test + bench JVMs
-    * must not race on overwrite-then-read), so "first build per
-    * process, reads thereafter" — within a process, new
-    * SparkContexts re-attach to the files via a CREATE TABLE …
-    * CLUSTERED BY … LOCATION registration from the stored schema.
+    * Freshness: a meta file pins the artifact to a fingerprint
+    * (file count : bytes : max mtime) of the source parquet it was
+    * derived from — a regenerated fixture rebuilds, same-source
+    * re-entry reads.
+    *
+    * CROSS-PROCESS since r18: artifacts live under ONE shared path
+    * and are published atomically, so the indexing-job/query-job
+    * split holds across JVMs — a second driver process re-opens the
+    * index the first one wrote (r17 scoped the scratch per-PID, which
+    * made every new process rebuild). The publish protocol is the
+    * standard immutable-snapshot one:
+    *
+    *   1. each artifact VERSION is a directory named by the hash of
+    *      its source fingerprint — versions are immutable, so readers
+    *      never observe in-place mutation;
+    *   2. a builder writes data into a private `.tmp_<pid>_<nonce>`
+    *      dir, writes `meta` (fingerprint + schema DDL) LAST, then
+    *      atomically rename(2)s the whole dir into place — a version
+    *      dir that exists is therefore always complete, and a crashed
+    *      builder leaves only an unreferenced temp dir (GC'd after an
+    *      hour by the next builder);
+    *   3. losing a publish race is benign: the mover that finds the
+    *      destination already present VALIDATES the winner's meta
+    *      against its own fingerprint and adopts it, discarding its
+    *      duplicate build;
+    *   4. every reader re-checks the version's recorded fingerprint
+    *      before attaching (never trusts the path name alone), so a
+    *      hash collision or torn artifact reads as absent, not wrong.
+    *
+    * Catalog entries are per-JVM (in-memory catalog): each process
+    * attaches the shared files via CREATE TABLE … CLUSTERED BY …
+    * LOCATION from the schema stored in meta; the table name embeds
+    * the fingerprint hash so a stale catalog entry can never alias a
+    * different version's files. Superseded version dirs are deleted
+    * after a successful publish — they are unreachable for any
+    * process that fingerprints the current source, and an in-flight
+    * scan of one survives on POSIX unlink semantics.
     *
     * The returned frame still goes through [[cached]] (persisted
     * MEMORY_AND_DISK): repeated consumers inside one query pass hit
@@ -123,52 +151,144 @@ object Cache {
     }
   }
 
-  /** Build-if-absent for the on-disk index artifact. Globally
-    * synchronized: builds are rare and racing writers (parallel test
-    * suites sharing a context) must not interleave an overwrite with
-    * a registration. */
+  /** Root under which all processes share index artifacts. A val so
+    * tests can read it; the layout below it is
+    * `<san(dir)>/<san(name)>/v_<fpHash>/{data,meta}`. */
+  val SharedRoot = "/tmp/graft_index/shared"
+
+  private def sha12(x: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map(b => f"$b%02x").mkString
+
+  /** The version's stored schema DDL when its meta records exactly
+    * `fp` — the reader-side validation step: a version dir is used
+    * only if its own meta re-states the fingerprint the reader just
+    * computed (path names are never trusted). */
+  private def validMeta(verDir: java.nio.file.Path,
+      fp: String): Option[String] = {
+    val metaPath = verDir.resolve("meta")
+    if (!java.nio.file.Files.exists(metaPath)) None
+    else {
+      val m = new String(java.nio.file.Files.readAllBytes(metaPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (m.startsWith(fp + "\n")) Some(m.split("\n", 2)(1)) else None
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f =>
+          try java.nio.file.Files.deleteIfExists(f)
+          catch { case _: java.io.IOException => () })
+    }
+
+  /** Register `table` over the published files (idempotent per
+    * catalog). The bucket spec in the DDL matches the writer's, so
+    * bucketed reads stay valid in every attaching process. */
+  private def attach(s: SparkSession, table: String, schemaDdl: String,
+      bucketCols: Seq[String], buckets: Int, dataPath: String): DataFrame = {
+    if (!s.catalog.tableExists(table))
+      s.sql(s"CREATE TABLE $table ($schemaDdl) USING PARQUET " +
+        s"CLUSTERED BY (${bucketCols.mkString(", ")}) " +
+        s"SORTED BY (${bucketCols.mkString(", ")}) " +
+        s"INTO $buckets BUCKETS LOCATION '$dataPath'")
+    s.table(table)
+  }
+
+  /** Build-if-absent for the on-disk index artifact, with the atomic
+    * cross-process publish protocol described on [[diskBacked]].
+    * Synchronized within the JVM (builds are rare and in-process
+    * writers must not interleave); cross-process races resolve at the
+    * rename(2). */
   private def ensureArtifact(s: SparkSession, dir: String, name: String,
       sourceTable: String, bucketCols: Seq[String], buckets: Int)
       (build: => DataFrame): DataFrame = synchronized {
-    val root = s"/tmp/graft_index/p$pid/${san(dir)}/${san(name)}"
-    val table = s"graft_idx_${san(dir)}_${san(name)}"
-    val dataPath = s"$root/data"
-    val metaPath = java.nio.file.Paths.get(s"$root/meta")
     // "v2:" = artifact LAYOUT version (one file per bucket since the
     // writeBucketed repartition fix) — bumping it invalidates
     // artifacts written under an older layout even when the source
     // fingerprint still matches.
     val fp = "v2:" + fingerprint(s, s"$dir/$sourceTable")
-    val meta =
-      if (java.nio.file.Files.exists(metaPath))
-        Some(new String(java.nio.file.Files.readAllBytes(metaPath),
-          java.nio.charset.StandardCharsets.UTF_8))
-      else None
-    if (meta.exists(_.startsWith(fp + "\n"))) {
-      if (!s.catalog.tableExists(table)) {
-        // Same process, fresh SparkContext (test suites): re-attach
-        // the catalog entry to the existing files. The bucket spec in
-        // the DDL matches the writer's, so bucketed reads stay valid.
-        val schemaDdl = meta.get.split("\n", 2)(1)
-        s.sql(s"CREATE TABLE $table ($schemaDdl) USING PARQUET " +
-          s"CLUSTERED BY (${bucketCols.mkString(", ")}) " +
-          s"SORTED BY (${bucketCols.mkString(", ")}) " +
-          s"INTO $buckets BUCKETS LOCATION '$dataPath'")
-      }
-      s.table(table)
-    } else {
-      val df = build
-      // Invalidate meta BEFORE the overwrite so a crash mid-write
-      // leaves a rebuildable (not a silently stale) artifact.
-      java.nio.file.Files.deleteIfExists(metaPath)
-      if (s.catalog.tableExists(table)) s.sql(s"DROP TABLE $table")
-      graft.sources.IO.writeBucketed(df, table, buckets, bucketCols,
-        Some(dataPath))
-      java.nio.file.Files.createDirectories(metaPath.getParent)
-      java.nio.file.Files.write(metaPath,
-        (fp + "\n" + df.schema.toDDL)
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      s.table(table)
+    val h = sha12(fp)
+    val root = java.nio.file.Paths.get(
+      s"$SharedRoot/${san(dir)}/${san(name)}")
+    val verDir = root.resolve(s"v_$h")
+    val table = s"graft_idx_${san(dir)}_${san(name)}_$h"
+    val dataPath = s"$verDir/data"
+    validMeta(verDir, fp) match {
+      case Some(schemaDdl) =>
+        attach(s, table, schemaDdl, bucketCols, buckets, dataPath)
+      case None =>
+        val df = build
+        val schemaDdl = df.schema.toDDL
+        // Private build dir; `meta` is written LAST so a dir that
+        // carries one is complete by construction.
+        val tmp = root.resolve(s".tmp_${pid}_${System.nanoTime()}")
+        val tmpTable = s"${table}_w$pid"
+        s.sql(s"DROP TABLE IF EXISTS $tmpTable")
+        graft.sources.IO.writeBucketed(df, tmpTable, buckets, bucketCols,
+          Some(s"$tmp/data"))
+        s.sql(s"DROP TABLE $tmpTable") // external: the files survive
+        java.nio.file.Files.write(tmp.resolve("meta"),
+          (fp + "\n" + schemaDdl)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        publish(tmp, verDir, fp)
+        gcStale(root, keep = verDir.getFileName.toString)
+        attach(s, table, schemaDdl, bucketCols, buckets, dataPath)
     }
   }
+
+  /** Atomically rename the complete temp dir into place. Losing the
+    * race to another process's publish is benign: validate the
+    * winner's meta and adopt it. A present-but-invalid destination
+    * (torn by a pre-protocol crash, or a hash collision) is removed
+    * and the move retried, boundedly. */
+  private def publish(tmp: java.nio.file.Path,
+      verDir: java.nio.file.Path, fp: String): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      try {
+        java.nio.file.Files.move(tmp, verDir,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        done = true
+      } catch {
+        case e: java.nio.file.FileSystemException
+            if java.nio.file.Files.exists(verDir) =>
+          if (validMeta(verDir, fp).isDefined) {
+            deleteRecursively(tmp) // concurrent publisher won; adopt
+            done = true
+          } else {
+            attempts += 1
+            if (attempts > 3) throw new IllegalStateException(
+              s"diskBacked: cannot publish $verDir (persistently " +
+                "present but invalid)", e)
+            deleteRecursively(verDir)
+          }
+      }
+    }
+  }
+
+  /** Best-effort scratch GC, run only on the (rare) build path:
+    * superseded version dirs are unreachable for any process that
+    * fingerprints the current source; `.tmp_*` dirs older than an
+    * hour are crashed builders (a LIVE builder's temp dir is younger
+    * than that — writeBucketed runs in seconds at any fixture SF). */
+  private def gcStale(root: java.nio.file.Path, keep: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+      java.nio.file.Files.list(root).iterator().asScala.toSeq.foreach {
+        p =>
+          val n = p.getFileName.toString
+          val stale =
+            (n.startsWith("v_") && n != keep) ||
+              (n.startsWith(".tmp_") &&
+                java.nio.file.Files.getLastModifiedTime(p)
+                  .toMillis < cutoff)
+          if (stale) deleteRecursively(p)
+      }
+    } catch { case _: java.io.IOException => () }
 }

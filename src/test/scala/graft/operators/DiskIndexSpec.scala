@@ -34,8 +34,11 @@ class DiskIndexSpec extends SparkSpec {
       spark.read.parquet(s"$dir/emb.parquet")
         .groupBy("k").agg(count(lit(1)).as("n"), sum("id").as("s"))
     }
+    // Table names embed the fingerprint hash since the r18
+    // cross-process layer (graft_idx_<dir>_<name>_<hash>), so match
+    // by infix, not suffix.
     def tableName: String = spark.catalog.listTables().collect()
-      .map(_.name).find(_.endsWith(s"test_idx_$tag"))
+      .map(_.name).find(_.contains(s"test_idx_$tag"))
       .getOrElse(fail(s"no catalog table registered for $tag"))
   }
 
@@ -104,6 +107,57 @@ class DiskIndexSpec extends SparkSpec {
     val total = fx.frame.agg(sum("n")).head().getLong(0)
     assert(fx.builds == 2, "stale artifact must rebuild")
     assert(total == 50L, "rebuild must reflect the NEW source")
+  }
+
+  test("a SECOND PROCESS re-opens the published artifact with zero " +
+      "builds and zero jobs (the r18 cross-process publish protocol)") {
+    // Shared (NOT per-pid) source dir: the artifact path derives from
+    // it, so both JVMs resolve the same shared version directory.
+    val dir = s"/tmp/graft_diskidx_xproc/n${System.nanoTime()}"
+    val name = "test.idx.xproc"
+    writeSource(dir, 100)
+    val before = graft.IndexProbe.builds.get
+    val mine = graft.IndexProbe.indexFrame(spark, dir, name)
+    val exp = mine.agg(count(lit(1)).as("rows"), sum("s").as("total")).head()
+    assert(graft.IndexProbe.builds.get == before + 1,
+      "first process must build exactly once")
+    // Second process: fresh JVM = fresh Cache memo + fresh catalog.
+    // Pass through this JVM's --add-opens/-D flags (Spark-on-JDK17
+    // needs them; sbt injected them into THIS fork).
+    import scala.jdk.CollectionConverters._
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toList
+    val passThrough = jvmArgs.zipWithIndex.flatMap { case (a, i) =>
+      if (a == "--add-opens" || a == "--add-exports")
+        List(a, jvmArgs(i + 1))
+      else if (a.startsWith("-Dspark.") || a.startsWith("--add-opens="))
+        List(a)
+      else Nil
+    }
+    val cmd = List(
+      System.getProperty("java.home") + "/bin/java") ++ passThrough ++
+      List("-Xmx2g", "-cp", System.getProperty("java.class.path"),
+        "graft.IndexProbe", dir, name)
+    val pb = new ProcessBuilder(cmd.asJava).redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+      s"second-process probe timed out; output:\n${out.takeRight(2000)}")
+    assert(proc.exitValue() == 0,
+      s"probe exited ${proc.exitValue()}:\n${out.takeRight(2000)}")
+    val line = out.linesIterator.find(_.startsWith("INDEXPROBE"))
+      .getOrElse(fail(s"no INDEXPROBE line:\n${out.takeRight(2000)}"))
+    def field(k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(line)
+        .getOrElse(fail(s"no $k in: $line")).group(1).toLong
+    assert(field("builds") == 0,
+      s"second process re-ran the build lineage: $line")
+    assert(field("construct_jobs") == 0,
+      s"second process scheduled jobs at open: $line")
+    assert(field("rows") == exp.getLong(0) &&
+      field("total") == exp.getLong(1),
+      s"cross-process values diverge: $line vs $exp")
   }
 
   test("ann_ivf reads the vec_id-bucketed artifact: no index build in " +
