@@ -514,16 +514,45 @@ def _snapshot_quiet(repo_dir, rnum):
     wrong round number — each round's gate demands a fresh in-round
     quiet run.
 
-    Round anchoring (r16 advice): once a VALID round-N snapshot is
-    committed, a live sidecar never overwrites it — a quiet run
-    executed for round N+1 before BENCH_r{N+1}.json lands would
-    otherwise be silently filed under round N. A live sidecar OLDER
-    than the valid snapshot is a consume-step leftover and is
-    consumed; a NEWER one is left in place for the next round's
-    snapshot. Only an unreadable/invalid dst is refreshed from the
-    live sidecar."""
+    Round anchoring (r17 advice, upgraded r18): Bench stamps the
+    round number into the sidecar when the quiet run exports
+    SPARK_GRAFT_ROUND, and a stamped sidecar is adjudicated by that
+    RECORDED round, never by mtime — mtime cannot distinguish a
+    round-N re-run landing after the snapshot from an early round-N+1
+    run (r17 advice: the re-run would have survived and silently
+    satisfied round N+1's gate). recorded < rnum → stale leftover,
+    consumed; == rnum → this round's run (snapshot source, or
+    consumed when a valid snapshot already stands); > rnum → left for
+    the NEXT round's snapshot. Unstamped sidecars (pre-r18 Bench, or
+    a run without the env) fall back to the r16 mtime rule: older
+    than a valid snapshot is consumed, newer is left in place."""
     src = os.path.join(repo_dir, "BENCH_FULL_QUIET.json")
     dst = os.path.join(repo_dir, f"BENCH_FULL_r{rnum}_quiet.json")
+
+    def src_round():
+        try:
+            with open(src) as f:
+                r = json.load(f).get("round")
+            return int(r) if r is not None else None
+        except Exception:
+            return None
+
+    if os.path.exists(src):
+        sr = src_round()
+        if sr is not None and sr < int(rnum):
+            os.remove(src)
+            print(f"snapshot-bench: consumed stale {os.path.basename(src)} "
+                  f"(stamped round {sr} < r{rnum})")
+        elif sr is not None and sr > int(rnum):
+            print(f"snapshot-bench: live sidecar is stamped round {sr} "
+                  f"> r{rnum}; left in place for that round's snapshot")
+            if os.path.exists(dst):
+                # fall through to validate the existing snapshot only
+                pass
+            else:
+                print("snapshot-bench: GATE FAIL — no quiet sidecar FOR "
+                      f"r{rnum} (the live one belongs to round {sr})")
+                return 1
     if os.path.exists(dst):
         try:
             with open(dst) as f:
@@ -537,18 +566,38 @@ def _snapshot_quiet(repo_dir, rnum):
             dst_ok = False
         if os.path.exists(src):
             if dst_ok:
-                # Valid committed snapshot wins; adjudicate the live
-                # sidecar by age instead of clobbering round N's record.
-                if os.path.getmtime(src) <= os.path.getmtime(dst):
+                # Valid committed snapshot wins. A sidecar stamped for
+                # THIS round is a same-round re-run: consume it so it
+                # can never satisfy round N+1's gate under the wrong
+                # round; one stamped for a LATER round stays. Unstamped
+                # sidecars fall back to the r16 mtime rule.
+                sr = src_round()
+                if sr is not None and sr == int(rnum):
+                    os.remove(src)
+                    print("snapshot-bench: consumed same-round re-run "
+                          f"{os.path.basename(src)} (stamped r{sr}; the "
+                          f"committed r{rnum} snapshot stands)")
+                elif sr is not None:
+                    print(f"snapshot-bench: live sidecar stamped r{sr} "
+                          "left in place for that round's snapshot")
+                elif os.path.getmtime(src) <= os.path.getmtime(dst):
                     os.remove(src)
                     print("snapshot-bench: consumed stale "
-                          f"{os.path.basename(src)} (older than the "
-                          f"committed r{rnum} snapshot, which stands)")
+                          f"{os.path.basename(src)} (unstamped, older "
+                          f"than the committed r{rnum} snapshot, which "
+                          "stands)")
                 else:
                     print(f"snapshot-bench: {os.path.basename(dst)} "
-                          "already valid; newer live sidecar left in "
-                          "place for the NEXT round's snapshot")
-                return 0
+                          "already valid; newer UNSTAMPED live sidecar "
+                          "left in place for the NEXT round's snapshot")
+                return _trend_anchor_check(repo_dir, rnum, warn_only=True)
+            sr = src_round()
+            if sr is not None and sr != int(rnum):
+                print("snapshot-bench: GATE FAIL — existing "
+                      f"{os.path.basename(dst)} is invalid and the live "
+                      f"sidecar is stamped r{sr}, not r{rnum}; cannot "
+                      "refresh from a different round's run")
+                return 1
             try:
                 with open(src) as f:
                     quiet = json.load(f)
@@ -565,7 +614,7 @@ def _snapshot_quiet(repo_dir, rnum):
                   "— refreshed from the live quiet sidecar "
                   f"(rep2_total {quiet.get('rep2_total')}); consumed "
                   f"{os.path.basename(src)}")
-            return 0
+            return _trend_anchor_check(repo_dir, rnum, warn_only=True)
         if dst_ok:
             print(f"snapshot-bench: {os.path.basename(dst)} already exists")
             return 0
@@ -595,7 +644,49 @@ def _snapshot_quiet(repo_dir, rnum):
     print(f"snapshot-bench: wrote {os.path.basename(dst)} "
           f"(quiet rep2_total {quiet.get('rep2_total')}); consumed "
           f"{os.path.basename(src)}")
-    return 0
+    return _trend_anchor_check(repo_dir, rnum, warn_only=True)
+
+
+def _trend_anchor_check(repo_dir, rnum, warn_only=False):
+    """Audit-trail guard (r17 verdict finding 1): the committed
+    BENCH_FULL_r{N}_quiet.json and BASELINE.md's r{N} trend row must
+    cite the SAME run — r17's end-of-round snapshot overwrote the
+    gate-cited 46.72 s sidecar with a later 51.8 s run, leaving the
+    trend row's "IS the committed sidecar" claim stale against the
+    file it cites. The check is mechanical: the snapshot's
+    rep2_total, formatted to 2 or 3 decimals, must appear in
+    BASELINE.md. warn_only=True (the snapshot path — the trend row is
+    often written AFTER the snapshot) prints a loud warning and
+    returns 0; the strict form is the `--quiet-anchors N` end-of-round
+    gate and returns 1 on mismatch."""
+    dst = os.path.join(repo_dir, f"BENCH_FULL_r{rnum}_quiet.json")
+    baseline = os.path.join(repo_dir, "BASELINE.md")
+    if not (os.path.exists(dst) and os.path.exists(baseline)):
+        if not warn_only:
+            print(f"quiet-anchors: GATE FAIL — missing "
+                  f"{os.path.basename(dst)} or BASELINE.md")
+            return 1
+        return 0
+    with open(dst) as f:
+        rep2 = json.load(f).get("rep2_total")
+    with open(baseline) as f:
+        text = f.read()
+    hits = [fmt for fmt in (f"{rep2:.3f}", f"{rep2:.2f}", f"{rep2:.1f}")
+            if fmt in text]
+    if hits:
+        print(f"quiet-anchors: r{rnum} trend row cites the committed "
+              f"sidecar (rep2_total {rep2} found as '{hits[0]}')")
+        return 0
+    msg = (f"r{rnum} snapshot rep2_total {rep2} does NOT appear in "
+           "BASELINE.md — the trend row cites a different run than "
+           "the committed sidecar")
+    if warn_only:
+        print(f"snapshot-bench: WARNING — {msg} (write/fix the trend "
+              "row, then run --quiet-anchors "
+              f"{rnum} as the end-of-round gate)")
+        return 0
+    print(f"quiet-anchors: GATE FAIL — {msg}")
+    return 1
 
 
 def determinism(dir_a, dir_b):
@@ -659,4 +750,6 @@ if __name__ == "__main__":
         sys.exit(1 if determinism(sys.argv[2], sys.argv[3]) else 0)
     if len(sys.argv) > 1 and sys.argv[1] == "--snapshot-bench":
         sys.exit(snapshot_bench(*(sys.argv[2:3] or ["."])))
+    if len(sys.argv) > 1 and sys.argv[1] == "--quiet-anchors":
+        sys.exit(_trend_anchor_check(".", sys.argv[2]))
     sys.exit(main(sys.argv[1], sys.argv[2]))

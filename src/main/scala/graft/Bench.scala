@@ -190,6 +190,14 @@ object Bench {
       s""""probes2":${arr(probes2)},""" +
       f""""load_start":$loadStart%.3f,"probe_start":$probeStart%.3f,""" +
       f""""load_end":$loadEnd%.3f,"probe_end":$probeEnd%.3f,""" +
+      // Round stamp (r18, optional): quiet in-round runs export
+      // SPARK_GRAFT_ROUND so check.py's snapshot gate can adjudicate
+      // the sidecar by its RECORDED round instead of mtime — a
+      // round-N re-run landing after the snapshot must never satisfy
+      // round N+1's gate (r17 advice). An int, so check.py's
+      // float-only query-map regex never mis-keys it.
+      sys.env.get("SPARK_GRAFT_ROUND")
+        .flatMap(_.toIntOption).fold("")(r => s""""round":$r,""") +
       s""""warmup":$warmupPasses,""" +
       s""""errors":$errJson,"error_count":${errors.size},""" +
       f""""rep2_total":$rep2Total%.3f,"value":$total%.3f}"""
