@@ -167,20 +167,34 @@ object Similarity {
     * an array per CANDIDATE.
     *
     * Bound sizing (raised 500k → 4M in r17 for the third embeddings
-    * decade): a vector row is ~300 B (64 floats + key + norm), so
-    * the broadcast hash relation is ~n·300 B·~1.3 overhead — ~160 MB
-    * at 500k, ~1.6 GB at the 4M bound. One copy per EXECUTOR (not
-    * per task), which any deployment running ANN over ≥2M vectors
-    * has the headroom for — it is the same "replicate the vectors,
-    * stream the candidates" layout an in-RAM ANN service uses, and
-    * the r17 2M-vector measurement showed the alternative is far
-    * worse: the wide path's probe-side exchange carries
-    * n·probes·300 B of arrays (~97 GB at 2M with Hamming-1 probing),
-    * two orders past the vector set itself. Past THIS bound the
-    * wide plan still takes over, but its own exchange math says the
-    * real >4M design is index sharding (queries replicate, index
-    * partitions) — declared out of scope for a single box. */
-  private[operators] val AttachBroadcastMaxRows = 4000000L
+    * decade; made HEAP-DERIVED in r18 per the r17 advice): a vector
+    * row is ~300 B (64 floats + key + norm), so the broadcast hash
+    * relation is ~n·300 B·~1.3 overhead ≈ n·400 B — ~160 MB at 500k,
+    * ~1.6 GB at the 4M cap. One copy per EXECUTOR (not per task),
+    * which any deployment running ANN over ≥2M vectors has the
+    * headroom for — it is the same "replicate the vectors, stream
+    * the candidates" layout an in-RAM ANN service uses, and the r17
+    * 2M-vector measurement showed the alternative is far worse: the
+    * wide path's probe-side exchange carries n·probes·300 B of
+    * arrays (~97 GB at 2M with Hamming-1 probing), two orders past
+    * the vector set itself.
+    *
+    * The bound is the smaller of a MEMORY budget and a DESIGN cap:
+    * the relation may use at most 20% of this JVM's max heap (so a
+    * default-memory local run backs off to the wide path instead of
+    * OOMing near the cap — the r17 advice's scenario: the fixed 4M
+    * figure was only ever measured at 2M), and never more than 4M
+    * rows regardless of heap, because past ~1.6 GB-per-executor of
+    * replicated vectors the right architecture is index SHARDING
+    * (queries replicate, index partitions by vec_id range — see
+    * [[shardedAnnLsh]] for the prototyped contract), not a bigger
+    * broadcast. At the 8 GiB bench JVM this evaluates to the 4M cap
+    * (heap-derived 4.29M); at a 2 GiB JVM it reads ~1.07M. */
+  private[operators] val AttachBroadcastMaxRows: Long = {
+    val perRowBytes = 400L
+    val heapBudget = (Runtime.getRuntime.maxMemory() * 0.20).toLong
+    math.min(4000000L, heapBudget / perRowBytes)
+  }
 
   /** Directed scored LSH candidate pairs (v1 → v2, v1 ≠ v2, cos
     * rounded to 4dp) from the shared bucket index: own-bucket join on

@@ -98,8 +98,20 @@ object SkewStudy {
         sum("w").as("sw"))
 
     val only = args.drop(1).headOption.map(_.split(",").toSet)
+    // Arm isolation (r17 advice): an arm that tunes the skew confs
+    // must not leak them into the NEXT arm — hot_shj ran under
+    // hot_aqe_tuned's 32MB/64MB/2.0 leftovers and hot_salted reset
+    // only the threshold, so three of five arms measured a mixed
+    // regime. Capture the shipped values once, restore before EVERY
+    // arm; an arm's own conf.set then applies to that arm alone.
+    val skewConfKeys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val shippedConfs = skewConfKeys.map(k => k -> spark.conf.get(k))
     def run(name: String)(mk: => DataFrame): Unit = {
       if (only.exists(!_.contains(name))) return
+      shippedConfs.foreach { case (k, v) => spark.conf.set(k, v) }
       try {
         var wall = 0.0
         (1 to 2).foreach { _ =>
@@ -171,10 +183,7 @@ object SkewStudy {
     run("hot_shj") {
       hotAgg(fact.join(dim.hint("shuffle_hash"), "k"))
     }
-    run("hot_salted") {
-      spark.conf.set(
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-        "256MB") // back to default for the salted arm
+    run("hot_salted") { // shipped conf restored by run() itself
       hotAgg(Skew.saltedJoin(fact.drop("l_suppkey"), dim, "k",
         "l_orderkey", 16))
     }

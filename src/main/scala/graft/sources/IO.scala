@@ -86,10 +86,13 @@ object IO {
     * where the updates declare long) would otherwise surface as a
     * reader-dependent scan error mid-job — so one target footer is
     * checked DRIVER-SIDE per merge (an FS open, not a Spark job):
-    * every updates column must exist in the target with an equal or
-    * losslessly widenable type (`Cast.canUpCast`, matching the
-    * Spark 4 vectorized reader's widening support), else the merge
-    * fails fast with a named-column error.
+    * every updates column must exist in the target with an equal type
+    * or one on the explicit whitelist of widenings the Spark 4
+    * vectorized parquet reader actually performs, else the merge
+    * fails fast with a named-column error. (The first cut used
+    * `Cast.canUpCast`, which is strictly BROADER than the reader —
+    * e.g. it allows atomic→string — so an incompatible target could
+    * pass the guard and still die mid-job; r17 advice.)
     */
   def upsertParquet(spark: SparkSession, targetPath: String,
       updates: DataFrame, keyCols: Seq[String],
@@ -124,10 +127,38 @@ object IO {
     dstFs.rename(tmp, dstPath)
   }
 
+  /** The type widenings the Spark 4 vectorized parquet reader
+    * supports when the declared read schema is wider than the file
+    * (SPARK-40876 lineage: integral upcasts, int→double, float→
+    * double, decimal widening that keeps every integer digit, and
+    * date→timestamp_ntz). Deliberately NOT `Cast.canUpCast`: that
+    * predicate admits casts (any atomic→string, int→decimal beyond
+    * the reader's set, …) the reader cannot execute, and this guard
+    * exists precisely to fail BEFORE the reader does. */
+  private[sources] def readerWidenable(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val intRank = Map[DataType, Int](
+      ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    (from, to) match {
+      case (f, t) if f == t => true
+      case (f, t) if intRank.contains(f) && intRank.contains(t) =>
+        intRank(f) < intRank(t)
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale &&
+          t.precision - t.scale >= f.precision - f.scale
+      case (DateType, TimestampNTZType) => true
+      case _ => false
+    }
+  }
+
   /** Fail-fast guard for [[upsertParquet]]'s declared-schema read:
     * reads ONE part-file footer on the driver (no job, no inference
     * pass over the directory) and asserts every updates column exists
-    * in the target with an equal or `Cast.canUpCast`-widenable type.
+    * in the target with an equal or [[readerWidenable]] type.
     * Matching is exact by name (the merge's unionByName is too). */
   private def assertUpsertTargetCompatible(
       hconf: org.apache.hadoop.conf.Configuration,
@@ -154,9 +185,7 @@ object IO {
             s"upsertParquet: target $dstPath lacks column '${f.name}' "
               + "required by the updates schema (target columns: "
               + fileSchema.fieldNames.mkString(", ") + ")")
-          case Some(t) if t != f.dataType
-              && !org.apache.spark.sql.catalyst.expressions.Cast
-                .canUpCast(t, f.dataType) =>
+          case Some(t) if !readerWidenable(t, f.dataType) =>
             throw new IllegalArgumentException(
               s"upsertParquet: target column '${f.name}' is stored as "
                 + s"$t, which is not readable as the updates' declared "

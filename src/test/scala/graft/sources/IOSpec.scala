@@ -34,6 +34,80 @@ class IOSpec extends SparkSpec {
     assert(state() == after)
   }
 
+  test("upsert target-compat guard: whitelist matches what the " +
+      "vectorized reader can actually widen (r17 advice)") {
+    import org.apache.spark.sql.types._
+    // Positive: the reader-supported widenings.
+    for ((f, t) <- Seq(
+        IntegerType -> IntegerType, ByteType -> ShortType,
+        ByteType -> LongType, ShortType -> IntegerType,
+        IntegerType -> LongType, IntegerType -> DoubleType,
+        FloatType -> DoubleType, DateType -> TimestampNTZType,
+        DecimalType(10, 2) -> DecimalType(12, 2),
+        DecimalType(10, 2) -> DecimalType(14, 4)))
+      assert(IO.readerWidenable(f, t), s"$f -> $t should be widenable")
+    // Negative: narrowings, and casts Cast.canUpCast ADMITS but the
+    // reader cannot perform — the exact gap the guard had.
+    for ((f, t) <- Seq(
+        LongType -> IntegerType, DoubleType -> FloatType,
+        IntegerType -> StringType, // canUpCast says yes; reader dies
+        DateType -> StringType, LongType -> DoubleType,
+        DecimalType(12, 2) -> DecimalType(10, 2),
+        DecimalType(10, 2) -> DecimalType(10, 4), // loses int digits
+        StringType -> LongType, TimestampNTZType -> DateType))
+      assert(!IO.readerWidenable(f, t), s"$f -> $t must be rejected")
+    assert(org.apache.spark.sql.catalyst.expressions.Cast
+      .canUpCast(IntegerType, StringType),
+      "premise: canUpCast admits int->string (why the whitelist exists)")
+    // End-to-end: an int32 target with long-declared updates passes
+    // the guard and merges; a string-declared updates column over the
+    // same int32 target fails FAST with the named column.
+    val s = spark
+    import s.implicits._
+    val path = tmp("upsert_widen")
+    Seq((1, 1L), (2, 1L)).toDF("id", "ver")
+      .write.mode("overwrite").parquet(path)
+    IO.upsertParquet(spark, path,
+      Seq((2L, 2L), (3L, 2L)).toDF("id", "ver"), Seq("id"), "ver")
+    assert(spark.read.parquet(path).count() == 3)
+    val e = intercept[IllegalArgumentException] {
+      IO.upsertParquet(spark, tmpIntTarget(), Seq(("x", 1L))
+        .toDF("id", "ver"), Seq("id"), "ver")
+    }
+    assert(e.getMessage.contains("'id'"), e.getMessage)
+    // Premise checks: each non-integral whitelisted widening is one
+    // the vectorized reader actually performs (the whitelist must be
+    // a SUBSET of reader behavior, or the guard waves through a
+    // mid-job death).
+    def roundtrip(write: org.apache.spark.sql.DataFrame,
+        readAs: DataType): org.apache.spark.sql.Row = {
+      val p = tmp(s"widen_${readAs.simpleString.replaceAll("[^a-z0-9]", "_")}")
+      write.write.mode("overwrite").parquet(p)
+      spark.read.schema(StructType(Seq(StructField("c", readAs))))
+        .parquet(p).head()
+    }
+    assert(roundtrip(Seq(7).toDF("c"), LongType).getLong(0) == 7L)
+    assert(roundtrip(Seq(7).toDF("c"), DoubleType).getDouble(0) == 7.0)
+    assert(roundtrip(Seq(1.5f).toDF("c"), DoubleType).getDouble(0) == 1.5)
+    assert(roundtrip(
+      Seq("12345678.91").toDF("c")
+        .select(col("c").cast(DecimalType(10, 2)).as("c")),
+      DecimalType(14, 4)).getDecimal(0)
+      == new java.math.BigDecimal("12345678.9100"))
+    assert(roundtrip(
+      Seq(java.sql.Date.valueOf("2024-03-01")).toDF("c"),
+      TimestampNTZType).getAs[java.time.LocalDateTime](0)
+      == java.time.LocalDateTime.of(2024, 3, 1, 0, 0))
+  }
+
+  private def tmpIntTarget(): String = {
+    val s = spark
+    import s.implicits._
+    val p = tmp("upsert_str_over_int")
+    Seq((1, 1L)).toDF("id", "ver").write.mode("overwrite").parquet(p)
+    p
+  }
+
   test("memoized-setup queries: second in-session invocation returns" +
       " the identical result") {
     // source_bucketed_join memoizes the bucketed layout write and
