@@ -127,7 +127,13 @@ object Cache {
   def diskBacked(s: SparkSession, dir: String, name: String,
       sourceTable: String, bucketCols: Seq[String], buckets: Int = 32)
       (build: => DataFrame): DataFrame =
-    cached(s, dir, name)(
+    // Diagnostic A/B knob (r18, DedupEmbedAb): -Dgraft.diskidx=off
+    // degrades diskBacked to the plain memory tier so one session can
+    // interleave artifact-vs-lineage arms per rep (drift-cancelled).
+    // Never set outside diagnostics — artifacts certify the disk path.
+    if (sys.props.get("graft.diskidx").contains("off"))
+      cached(s, dir, name)(build)
+    else cached(s, dir, name)(
       ensureArtifact(s, dir, name, sourceTable, bucketCols, buckets)(build))
 
   private val pid = ProcessHandle.current().pid()
