@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The sharded-index prototype (Similarity.shardedAnnTopK) — the
+  * declared design for collections past the single-artifact attach
+  * ceiling (~4M vectors): index partitions by vec_id into per-shard
+  * diskBacked artifacts, queries replicate, per-shard top-k unions
+  * into an EXACT global top-k. These specs pin the exactness claim
+  * (shard-union == unsharded, the property that makes sharding a
+  * deployment choice instead of a recall trade) and the shard
+  * partition invariants it rests on.
+  */
+class ShardSpec extends SparkSpec {
+
+  private def dims(d: String) = {
+    val n = graft.EngineConf.parquetRowCount(spark,
+      s"$d/embeddings.parquet")
+    (Similarity.LshTables, Similarity.lshBits(n), Similarity.LshSeed)
+  }
+
+  test("2-shard union == unsharded ann top-k, row for row (sf0.01 " +
+      "and sf0.1)") {
+    for (d <- Seq(SparkSpec.sf001, SparkSpec.sf01)) {
+      val (tables, bits, seed) = dims(d)
+      val base = Similarity
+        .annTopK(spark, d, tables, bits, seed, Similarity.AnnH1Tables)
+        .collect().map(_.toSeq).toSeq
+      val sharded = Similarity
+        .shardedAnnTopK(spark, d, 2, tables, bits, seed,
+          Similarity.AnnH1Tables)
+        .collect().map(_.toSeq).toSeq
+      assert(sharded == base,
+        s"2-shard result diverges from unsharded at $d: " +
+          s"${sharded.size} vs ${base.size} rows")
+    }
+  }
+
+  test("3-shard union == unsharded (shard count is a free deployment " +
+      "knob, not a semantic one)") {
+    val d = SparkSpec.sf001
+    val (tables, bits, seed) = dims(d)
+    val base = Similarity
+      .annTopK(spark, d, tables, bits, seed, Similarity.AnnH1Tables)
+      .collect().map(_.toSeq).toSeq
+    val sharded = Similarity
+      .shardedAnnTopK(spark, d, 3, tables, bits, seed,
+        Similarity.AnnH1Tables)
+      .collect().map(_.toSeq).toSeq
+    assert(sharded == base)
+  }
+
+  test("shards PARTITION the signature set: disjoint by member, " +
+      "union == the unsharded index") {
+    val d = SparkSpec.sf001
+    val (tables, bits, seed) = dims(d)
+    val full = Similarity.lshBuckets(spark, d, tables, bits, seed)
+    val parts = (0 until 2).map(i =>
+      Similarity.lshBucketsShard(spark, d, tables, bits, seed, i, 2))
+    // disjoint members
+    val overlap = parts(0).select("vec_id").distinct()
+      .join(parts(1).select("vec_id").distinct(), "vec_id").count()
+    assert(overlap == 0, s"shards share $overlap members")
+    // union covers exactly the unsharded signature rows
+    val union = parts.reduce(_ unionAll _)
+    assert(union.count() == full.count())
+    assert(union.exceptAll(full).count() == 0
+      && full.exceptAll(union).count() == 0,
+      "shard union != unsharded signature set")
+  }
+
+  test("each shard is its own on-disk artifact (the artifact layer's " +
+      "bucketing is the shard key)") {
+    val d = SparkSpec.sf001
+    val (tables, bits, seed) = dims(d)
+    (0 until 2).foreach(i =>
+      Similarity.lshBucketsShard(spark, d, tables, bits, seed, i, 2)
+        .count())
+    val idx = spark.catalog.listTables().collect().map(_.name)
+      .filter(t => t.contains("s0_of2") || t.contains("s1_of2"))
+    assert(idx.length >= 2,
+      s"expected two shard artifacts in the catalog, saw: " +
+        idx.mkString(", "))
+  }
+}
