@@ -179,22 +179,25 @@ object Similarity {
     * arrays (~97 GB at 2M with Hamming-1 probing), two orders past
     * the vector set itself.
     *
-    * The bound is the smaller of a MEMORY budget and a DESIGN cap:
-    * the relation may use at most 20% of this JVM's max heap (so a
-    * default-memory local run backs off to the wide path instead of
-    * OOMing near the cap — the r17 advice's scenario: the fixed 4M
-    * figure was only ever measured at 2M), and never more than 4M
-    * rows regardless of heap, because past ~1.6 GB-per-executor of
-    * replicated vectors the right architecture is index SHARDING
-    * (queries replicate, index partitions by vec_id range — see
-    * [[shardedAnnLsh]] for the prototyped contract), not a bigger
-    * broadcast. At the 8 GiB bench JVM this evaluates to the 4M cap
-    * (heap-derived 4.29M); at a 2 GiB JVM it reads ~1.07M. */
-  private[operators] val AttachBroadcastMaxRows: Long = {
-    val perRowBytes = 400L
-    val heapBudget = (Runtime.getRuntime.maxMemory() * 0.20).toLong
-    math.min(4000000L, heapBudget / perRowBytes)
-  }
+    * The bound is the smaller of a MEMORY budget and a DESIGN cap,
+    * and the memory constant is MEASURED, not estimated (the r17
+    * advice's scenario — the fixed 4M figure had only ever been run
+    * at 2M — turned out real in both directions): a 2M-row attach
+    * COMPLETES at a 16 GiB heap (the r17 scaling run) and DIES at an
+    * 8 GiB heap ("Not enough memory to build and broadcast",
+    * ShardProbe r18 — the relation build transiently holds rows +
+    * hash table alongside the cached signature blocks). So the
+    * budget is maxMemory/6400 rows (≈ 2.5M at 16 GiB — above the
+    * measured pass; ≈ 1.25M at 8 GiB — below the measured failure),
+    * and never more than 4M rows regardless of heap, because past
+    * ~1.6 GB-per-executor of replicated vectors the right
+    * architecture is index SHARDING (queries replicate, index
+    * partitions by vec_id — [[shardedAnnTopK]], whose per-shard
+    * attach is n/S rows and fits where the unsharded 2M attach
+    * dies). Under the bound a too-small heap now backs off to the
+    * wide path instead of OOMing. */
+  private[operators] val AttachBroadcastMaxRows: Long =
+    math.min(4000000L, Runtime.getRuntime.maxMemory() / 6400L)
 
   /** Directed scored LSH candidate pairs (v1 → v2, v1 ≠ v2, cos
     * rounded to 4dp) from the shared bucket index: own-bucket join on
@@ -556,14 +559,22 @@ object Similarity {
         .otherwise(array(col("bucket")))).as("bucket"))
     val w = Window.partitionBy("v1")
       .orderBy(col("cos").desc, col("v2"))
+    // Probe-side attach: broadcast only when the QUERY set fits the
+    // measured memory bound; past it, a plain vec_id-hash join (the
+    // self-join corpus case — a real deployment's query batch is
+    // small and always broadcasts).
+    val n = EngineConf.parquetRowCount(s, s"$d/embeddings.parquet")
+    val qv = v.select(col("vec_id").as("v1"),
+      col("embedding").as("ea"), col("nsq").as("na"))
+    val attachQueries: DataFrame => DataFrame =
+      if (n <= AttachBroadcastMaxRows) df => df.join(broadcast(qv), "v1")
+      else df => df.join(qv, "v1")
     val perShard = (0 until shards).map { i =>
       val index = lshBucketsShard(s, d, nTables, bits, seed, i, shards)
         .select(col("vec_id").as("v2"), col("tbl"), col("bucket"))
-      probes.join(index, Seq("tbl", "bucket"))
+      attachQueries(probes.join(index, Seq("tbl", "bucket"))
         .filter(col("v1") =!= col("v2"))
-        .select("v1", "v2")
-        .join(broadcast(v.select(col("vec_id").as("v1"),
-          col("embedding").as("ea"), col("nsq").as("na"))), "v1")
+        .select("v1", "v2"))
         // the shard-local attach: n/S rows — the bound this design buys
         .join(broadcast(v
           .filter(pmod(col("vec_id"), lit(shards)) === i)
