@@ -91,7 +91,17 @@ object Bench {
       if (ok) t else -t
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Opt-in exclusion for off-fixture scale runs ONLY (r18): the
+    // declared quadratics (halfPairs consumers, ivfRanked) are
+    // contract-excluded from the embeddings scale axis (SCALING.md),
+    // and at a 100x catalog they alone would cost hours. An excluded
+    // set is stamped into the line AND sidecar, so a partial run can
+    // never masquerade as the full suite; the driver never sets this.
+    val excluded = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val names =
+      SparkEntry.queries.keys.toSeq.filterNot(excluded).sorted
     // Interleaved load probes: one single-shot micro-probe run after
     // every SEGMENT queries (plus the pass tail), so ambient load is
     // adjudicable per query FAMILY, not just per run — r14's driver
@@ -198,6 +208,9 @@ object Bench {
       // float-only query-map regex never mis-keys it.
       sys.env.get("SPARK_GRAFT_ROUND")
         .flatMap(_.toIntOption).fold("")(r => s""""round":$r,""") +
+      (if (excluded.isEmpty) ""
+       else excluded.toSeq.sorted
+         .map("\"" + _ + "\"").mkString("\"excluded\":[", ",", "],")) +
       s""""warmup":$warmupPasses,""" +
       s""""errors":$errJson,"error_count":${errors.size},""" +
       f""""rep2_total":$rep2Total%.3f,"value":$total%.3f}"""
