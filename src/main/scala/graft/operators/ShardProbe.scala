@@ -9,12 +9,16 @@ import org.apache.spark.sql.SparkSession
   * collect into a driver-side compare). Reports per-path cold (index
   * build included) and warm (artifact re-open) seconds.
   *
-  * Usage: runMain graft.operators.ShardProbe <dir> [shards]
+  * Usage: runMain graft.operators.ShardProbe <dir> [shards] [mode]
+  * mode: both (default — fixture scale), shard (sharded arms only —
+  * at 2M one arm per JVM keeps the 16g heap honest: the r18 run
+  * showed unsharded-cold leftovers OOM the next arm in-process).
   */
 object ShardProbe {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/tmp/graft_sf100_ed")
     val shards = args.drop(1).headOption.map(_.toInt).getOrElse(2)
+    val mode = args.drop(2).headOption.getOrElse("both")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.EngineConf.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
@@ -37,6 +41,35 @@ object ShardProbe {
       .annTopK(spark, d, tables, bits, seed, Similarity.AnnH1Tables)
     def shard() = Similarity.shardedAnnTopK(spark, d, shards, tables,
       bits, seed, Similarity.AnnH1Tables)
+    if (mode == "shard") {
+      // Deployment shape at scale: each shard's top-k is its own JOB
+      // (one at a time — its broadcasts live only for its duration),
+      // materialized narrow; the final re-rank reads the k·S dumps.
+      // The one-query composed form (mode=both) holds all shards'
+      // relations at once and OOMs a 16g heap at 2M (PLANS.md r18).
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val scratch =
+        s"/tmp/graft_shardprobe/p${ProcessHandle.current().pid()}"
+      (0 until shards).foreach { i =>
+        timed(s"shard $i top-k job")(
+          { val df = Similarity.shardTopK(spark, d, i, shards, tables,
+              bits, seed, Similarity.AnnH1Tables)
+            df.write.mode("overwrite").parquet(s"$scratch/s$i")
+            spark.read.parquet(s"$scratch/s$i").count() })
+        graft.Cache.clear(spark, "sim.")
+      }
+      val w = Window.partitionBy("v1")
+        .orderBy(col("cos").desc, col("v2"))
+      timed("union re-rank job")(
+        (0 until shards).map(i => spark.read.parquet(s"$scratch/s$i"))
+          .reduce(_ unionAll _)
+          .withColumn("rk", dense_rank().over(w))
+          .filter(col("rk") <= 3)
+          .dropDuplicates("v1", "v2")
+          .count())
+      spark.stop(); return
+    }
     timed("unsharded cold")(base().count())
     graft.Cache.clear(spark, "sim.")
     timed("unsharded warm")(base().count())

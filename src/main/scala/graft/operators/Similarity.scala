@@ -547,50 +547,64 @@ object Similarity {
   private[operators] def shardedAnnTopK(s: SparkSession, d: String,
       shards: Int, nTables: Int, bits: Int, seed: Long, nH1: Int,
       k: Int = 3): DataFrame = {
-    val v = vecs(s, d)
-    def cosCol: Column = round(
-      vecDot(col("ea"), col("eb")) / sqrt(col("na") * col("nb")), 4)
-    // Queries replicate: the probe set is every shard's signatures.
-    val probeSigs = (0 until shards)
-      .map(j => lshBucketsShard(s, d, nTables, bits, seed, j, shards))
-      .reduce(_ unionAll _)
-    val probes = probeSigs.select(col("vec_id").as("v1"), col("tbl"),
-      explode(when(col("tbl") < nH1, probeBuckets(bits))
-        .otherwise(array(col("bucket")))).as("bucket"))
     val w = Window.partitionBy("v1")
       .orderBy(col("cos").desc, col("v2"))
-    // Probe-side attach: broadcast only when the QUERY set fits the
-    // measured memory bound; past it, a plain vec_id-hash join (the
-    // self-join corpus case — a real deployment's query batch is
-    // small and always broadcasts).
-    val n = EngineConf.parquetRowCount(s, s"$d/embeddings.parquet")
-    val qv = v.select(col("vec_id").as("v1"),
-      col("embedding").as("ea"), col("nsq").as("na"))
-    val attachQueries: DataFrame => DataFrame =
-      if (n <= AttachBroadcastMaxRows) df => df.join(broadcast(qv), "v1")
-      else df => df.join(qv, "v1")
-    val perShard = (0 until shards).map { i =>
-      val index = lshBucketsShard(s, d, nTables, bits, seed, i, shards)
-        .select(col("vec_id").as("v2"), col("tbl"), col("bucket"))
-      attachQueries(probes.join(index, Seq("tbl", "bucket"))
-        .filter(col("v1") =!= col("v2"))
-        .select("v1", "v2"))
-        // the shard-local attach: n/S rows — the bound this design buys
-        .join(broadcast(v
-          .filter(pmod(col("vec_id"), lit(shards)) === i)
-          .select(col("vec_id").as("v2"),
-            col("embedding").as("eb"), col("nsq").as("nb"))), "v2")
-        .select(col("v1"), col("v2"), cosCol.as("cos"))
-        .withColumn("rk", dense_rank().over(w))
-        .filter(col("rk") <= k)
-        .select("v1", "v2", "cos")
-    }
+    val perShard = (0 until shards).map(i =>
+      shardTopK(s, d, i, shards, nTables, bits, seed, nH1, k))
     perShard.reduce(_ unionAll _)
       .withColumn("rk", dense_rank().over(w))
       .filter(col("rk") <= k)
       .dropDuplicates("v1", "v2")
       .select("v1", "rk", "v2", "cos")
       .orderBy("v1", "rk")
+  }
+
+  /** ONE shard's top-k (v1, v2, cos) — in a deployment this is an
+    * independent per-shard JOB (its broadcasts live only for its
+    * duration); [[shardedAnnTopK]] composes all shards into one query
+    * for the spec-pinned equality proof. Memory honesty, measured at
+    * 2M/16 GiB (r18): in the ONE-QUERY composition every shard
+    * branch's relations coexist — S·(n + n/S) broadcast rows — so the
+    * query-side attach broadcasts only when that TOTAL fits the
+    * bound; past it the query side becomes a plain vec_id-hash join
+    * (a deployment's query batch is small and always broadcasts; the
+    * corpus self-join here is the stress shape). The member-side
+    * attach is the n/S-row broadcast the sharding exists to buy. */
+  private[operators] def shardTopK(s: SparkSession, d: String,
+      shard: Int, shards: Int, nTables: Int, bits: Int, seed: Long,
+      nH1: Int, k: Int = 3): DataFrame = {
+    val v = vecs(s, d)
+    val n = EngineConf.parquetRowCount(s, s"$d/embeddings.parquet")
+    def cosCol: Column = round(
+      vecDot(col("ea"), col("eb")) / sqrt(col("na") * col("nb")), 4)
+    val probes = (0 until shards)
+      .map(j => lshBucketsShard(s, d, nTables, bits, seed, j, shards))
+      .reduce(_ unionAll _)
+      .select(col("vec_id").as("v1"), col("tbl"),
+        explode(when(col("tbl") < nH1, probeBuckets(bits))
+          .otherwise(array(col("bucket")))).as("bucket"))
+    val qv = v.select(col("vec_id").as("v1"),
+      col("embedding").as("ea"), col("nsq").as("na"))
+    val attachQueries: DataFrame => DataFrame =
+      if (n * (shards + 1) <= AttachBroadcastMaxRows)
+        df => df.join(broadcast(qv), "v1")
+      else df => df.join(qv, "v1")
+    val index = lshBucketsShard(s, d, nTables, bits, seed, shard, shards)
+      .select(col("vec_id").as("v2"), col("tbl"), col("bucket"))
+    val w = Window.partitionBy("v1")
+      .orderBy(col("cos").desc, col("v2"))
+    attachQueries(probes.join(index, Seq("tbl", "bucket"))
+      .filter(col("v1") =!= col("v2"))
+      .select("v1", "v2"))
+      // the shard-local attach: n/S rows — the bound this design buys
+      .join(broadcast(v
+        .filter(pmod(col("vec_id"), lit(shards)) === shard)
+        .select(col("vec_id").as("v2"),
+          col("embedding").as("eb"), col("nsq").as("nb"))), "v2")
+      .select(col("v1"), col("v2"), cosCol.as("cos"))
+      .withColumn("rk", dense_rank().over(w))
+      .filter(col("rk") <= k)
+      .select("v1", "v2", "cos")
   }
 
   /** IVF index halves for the sweep tools and specs: (assignments

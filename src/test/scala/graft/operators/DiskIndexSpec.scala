@@ -160,6 +160,58 @@ class DiskIndexSpec extends SparkSpec {
       s"cross-process values diverge: $line vs $exp")
   }
 
+  test("two processes RACING the first build both succeed, agree on " +
+      "values, and leave exactly one published version (atomic rename; " +
+      "the loser adopts the winner's artifact)") {
+    val dir = s"/tmp/graft_diskidx_xproc/race${System.nanoTime()}"
+    val name = "test.idx.race"
+    writeSource(dir, 100)
+    import scala.jdk.CollectionConverters._
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toList
+    val passThrough = jvmArgs.zipWithIndex.flatMap { case (a, i) =>
+      if (a == "--add-opens" || a == "--add-exports")
+        List(a, jvmArgs(i + 1))
+      else if (a.startsWith("-Dspark.") || a.startsWith("--add-opens="))
+        List(a)
+      else Nil
+    }
+    val cmd = List(
+      System.getProperty("java.home") + "/bin/java") ++ passThrough ++
+      List("-Xmx2g", "-cp", System.getProperty("java.class.path"),
+        "graft.IndexProbe", dir, name)
+    val procs = (1 to 2).map { _ =>
+      new ProcessBuilder(cmd.asJava).redirectErrorStream(true).start()
+    }
+    val outs = procs.map { p =>
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS),
+        s"racer timed out:\n${out.takeRight(1500)}")
+      assert(p.exitValue() == 0,
+        s"racer exited ${p.exitValue()}:\n${out.takeRight(1500)}")
+      out.linesIterator.find(_.startsWith("INDEXPROBE"))
+        .getOrElse(fail(s"no INDEXPROBE line:\n${out.takeRight(1500)}"))
+    }
+    def field(line: String, k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(line)
+        .getOrElse(fail(s"no $k in: $line")).group(1).toLong
+    // Both processes return identical values regardless of who won.
+    assert(field(outs(0), "rows") == field(outs(1), "rows") &&
+      field(outs(0), "total") == field(outs(1), "total"),
+      s"racers disagree: ${outs(0)} vs ${outs(1)}")
+    // Exactly one published version dir; no leftover temp dirs.
+    val root = java.nio.file.Paths.get(graft.Cache.SharedRoot)
+      .resolve(dir.replaceAll("[^A-Za-z0-9]", "_"))
+      .resolve(name.replaceAll("[^A-Za-z0-9]", "_"))
+    val children = java.nio.file.Files.list(root).iterator().asScala
+      .map(_.getFileName.toString).toSeq.sorted
+    assert(children.count(_.startsWith("v_")) == 1,
+      s"expected one published version, saw: $children")
+    assert(!children.exists(_.startsWith(".tmp_")),
+      s"leftover temp dirs after the race: $children")
+  }
+
   test("ann_ivf reads the vec_id-bucketed artifact: no index build in " +
       "the query plan and no candidate-join shuffle") {
     // Force the artifact to exist (first construction may build).
