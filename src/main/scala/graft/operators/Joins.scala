@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -100,17 +101,31 @@ object Joins {
         .orderBy("r_name", "n_name")),
 
     // Theta/range self-join: same-user event pairs within 60 s,
-    // different types. Equi on user_id + range residual keeps it
-    // O(pairs-per-user), never a global cross product.
+    // different types. TIME-BANDED since r18: the first form was equi
+    // on user_id alone with the range as a residual, which evaluates
+    // O(history²) candidate pairs PER USER — invisible at fixture SF,
+    // but the r18 full-suite 100x point measured it at slope 1.97
+    // (6.2 s → 578 s), the single undeclared quadratic in the suite.
+    // The banded form adds the 60 s bucket to the join key (probe
+    // side explodes into bucket and bucket+1 — any b.ts within
+    // (a.ts, a.ts+60] lands in one of the two, and in exactly one,
+    // so no dedup is needed): candidates become per-(user, minute)
+    // occupancy², which the events axis holds CONSTANT as history
+    // grows — the same band-coverage lemma join_range_banded uses on
+    // the value axis. Same qualifying pairs, same oracle.
     "join_theta_range" -> ((s, d) => {
       val e = Tables.events(s, d).select("user_id", "ts", "event_type")
-      e.alias("a")
-        .join(e.alias("b"),
-          col("a.user_id") === col("b.user_id")
-            && col("a.ts") < col("b.ts")
-            && col("b.ts") <= col("a.ts") + expr("INTERVAL 60 SECONDS")
-            && col("a.event_type") =!= col("b.event_type"))
-        .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      def mins(c: Column): Column =
+        floor(c.cast("timestamp").cast("long") / 60)
+      val a = e.select(col("user_id"), col("ts").as("ts_a"),
+        col("event_type").as("type_a"),
+        explode(array(mins(col("ts")), mins(col("ts")) + 1)).as("bkt"))
+      val b = e.select(col("user_id"), col("ts").as("ts_b"),
+        col("event_type").as("type_b"), mins(col("ts")).as("bkt"))
+      a.join(b, Seq("user_id", "bkt"))
+        .filter(col("ts_a") < col("ts_b")
+          && col("ts_b") <= col("ts_a") + expr("INTERVAL 60 SECONDS")
+          && col("type_a") =!= col("type_b"))
         .groupBy("type_a", "type_b")
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("type_a", "type_b")

@@ -409,6 +409,25 @@ class PlanSpec extends SparkSpec {
     assert(countOf(p, "BroadcastHashJoin") >= 2)
   }
 
+  test("join_theta_range: the self-join keys on (user, MINUTE BUCKET)" +
+      " — per-user history pairing is the measured 100x quadratic") {
+    // r18: the user_id-only equi form read slope 1.97 at the 100x
+    // suite point (6.2 s → 578 s) — candidates were O(history²) per
+    // user. The bucket key must be IN the join condition, or the
+    // plan has regressed to exactly that.
+    val p = plan("join_theta_range")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // Formatted plans carry join keys in the detail section
+    // ("Left keys [2]: [user_id#…, bkt#…]") — the header Join line
+    // has no attributes.
+    val keyLines = p.linesIterator
+      .filter(l => l.contains("keys") && l.contains("user_id")).toSeq
+    assert(keyLines.nonEmpty, s"no user_id join keys in:\n$p")
+    assert(keyLines.forall(_.contains("bkt")),
+      s"theta join lost its time-band key:\n${keyLines.mkString("\n")}")
+  }
+
   test("join_range_banded: the band join is an EQUI join — no BNLJ") {
     // The rewrite's whole point: bucket ± 1 explode turns |x−y| ≤ w
     // into a hash-joinable equi key. A BNLJ or cartesian here means
