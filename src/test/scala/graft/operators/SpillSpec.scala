@@ -219,20 +219,34 @@ class SpillSpec extends SparkSpec {
   }
 
   test("positive control: forced join executes as SortMergeJoin and spills") {
-    // join_theta_range: equi on user_id + range residual, so the
-    // buffered per-user groups (~hundreds of events) exceed a
-    // 64-row spill threshold; probes per group are bounded by the
-    // group itself, so the reader-reopen churn stays sane here.
+    // TEST-LOCAL user-equi self-join with the range as a residual —
+    // the pre-r18 join_theta_range shape, kept here BECAUSE its
+    // buffered per-user groups (~hundreds of events) exceed a 64-row
+    // spill threshold. The shipped query is time-banded precisely so
+    // its per-(user, minute) groups stay tiny (the 100x slope fix,
+    // PlanSpec pin), which makes it useless as a spill vehicle.
     graft.Cache.clear(spark)
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
     val (plan, spilled) = metered(withForcedSpill(
       "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "64") {
-      val q = SparkEntry.queries("join_theta_range")(spark, SparkSpec.sf0001)
+      val e = graft.Tables.events(spark, SparkSpec.sf0001)
+        .select("user_id", "ts", "event_type")
+      val q = e.alias("a")
+        .join(e.alias("b"),
+          col("a.user_id") === col("b.user_id")
+            && col("a.ts") < col("b.ts")
+            && col("b.ts") <= col("a.ts") + expr("INTERVAL 60 SECONDS")
+            && col("a.event_type") =!= col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("type_a", "type_b")
       q.collect()
       q.queryExecution.executedPlan.toString
     })
     assert(plan.contains("SortMergeJoin"),
       s"broadcast disable is NOT reaching the planner — " +
-        s"join_theta_range did not execute as SMJ:\n$plan")
+        s"the user-equi stressor did not execute as SMJ:\n$plan")
     assert(spilled > 0,
       "SMJ buffer thresholds are NOT reaching SortMergeJoinExec — " +
         "the join rows of this suite are vacuous")
