@@ -661,6 +661,17 @@ def _trend_anchor_check(repo_dir, rnum, warn_only=False):
     gate and returns 1 on mismatch."""
     dst = os.path.join(repo_dir, f"BENCH_FULL_r{rnum}_quiet.json")
     baseline = os.path.join(repo_dir, "BASELINE.md")
+    if not os.path.exists(dst):
+        # In-round form: the per-round snapshot is written at the NEXT
+        # round's start, so before then the live sidecar is the round's
+        # record — accept it only when its stamp matches rnum.
+        live = os.path.join(repo_dir, "BENCH_FULL_QUIET.json")
+        try:
+            with open(live) as f:
+                if int(json.load(f).get("round")) == int(rnum):
+                    dst = live
+        except Exception:
+            pass
     if not (os.path.exists(dst) and os.path.exists(baseline)):
         if not warn_only:
             print(f"quiet-anchors: GATE FAIL — missing "
