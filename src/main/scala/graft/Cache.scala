@@ -279,21 +279,28 @@ object Cache {
 
   /** Best-effort scratch GC, run only on the (rare) build path:
     * superseded version dirs are unreachable for any process that
-    * fingerprints the current source; `.tmp_*` dirs older than an
-    * hour are crashed builders (a LIVE builder's temp dir is younger
-    * than that — writeBucketed runs in seconds at any fixture SF). */
+    * fingerprints the CURRENT source, but a cross-process reader that
+    * fingerprinted the OLD source may be mid-scan — Spark lists files
+    * first and opens them per task, so an unlink between listing and
+    * open fails the task (open fds survive unlink; un-opened paths do
+    * not). A 10-minute grace on superseded versions bounds that race
+    * to scans outliving two fixture generations AND ten minutes —
+    * accepted and documented. `.tmp_*` dirs older than an hour are
+    * crashed builders (a LIVE builder's temp dir is younger than
+    * that — writeBucketed runs in seconds at any fixture SF). */
   private def gcStale(root: java.nio.file.Path, keep: String): Unit =
     try {
       import scala.jdk.CollectionConverters._
-      val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+      val now = System.currentTimeMillis()
+      def olderThan(p: java.nio.file.Path, ms: Long): Boolean =
+        java.nio.file.Files.getLastModifiedTime(p).toMillis < now - ms
       java.nio.file.Files.list(root).iterator().asScala.toSeq.foreach {
         p =>
           val n = p.getFileName.toString
           val stale =
-            (n.startsWith("v_") && n != keep) ||
-              (n.startsWith(".tmp_") &&
-                java.nio.file.Files.getLastModifiedTime(p)
-                  .toMillis < cutoff)
+            (n.startsWith("v_") && n != keep &&
+              olderThan(p, 10L * 60 * 1000)) ||
+              (n.startsWith(".tmp_") && olderThan(p, 60L * 60 * 1000))
           if (stale) deleteRecursively(p)
       }
     } catch { case _: java.io.IOException => () }
