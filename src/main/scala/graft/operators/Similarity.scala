@@ -481,18 +481,63 @@ object Similarity {
 
   /** The ann_lsh pipeline, parameterized so the AnnSweep tool can
     * measure recall/cost of candidate configs against the exact same
-    * code the declared query runs. */
+    * code the declared query runs.
+    *
+    * Scale dispatch (r18): under `attachMaxRows` vectors this is the
+    * narrow candidate path + one global top-k window; past it the
+    * query routes to the SHARDED form — S = ceil(n / bound) per-shard
+    * top-k jobs, each its own [[graft.Cache.diskBacked]] artifact
+    * (construction of each artifact is an eager, self-contained write
+    * job, so shard broadcasts never coexist — the materialization
+    * seam the 2M probe showed the one-query composed form lacks), and
+    * the query plan itself is just a union of k-rows-per-query
+    * artifact scans re-ranked. Exactness is ShardSpec's pinned
+    * property (shards partition members ⇒ global top-k ⊆ per-shard
+    * union); the dispatcher is spec-pinned equal to the unsharded
+    * form by forcing a small bound at fixture scale. Shard count is
+    * capped at 16 — past that a single box is the wrong tool
+    * regardless (each shard is meant to be an executor group). */
   private[operators] def annTopK(s: SparkSession, d: String,
-      nTables: Int, bits: Int, seed: Long, nH1: Int): DataFrame = {
+      nTables: Int, bits: Int, seed: Long, nH1: Int,
+      attachMaxRows: Long = AttachBroadcastMaxRows): DataFrame = {
     val w = Window.partitionBy("v1")
       .orderBy(col("cos").desc, col("v2"))
-    lshCandidates(s, d, nTables, bits, seed, nH1)
-      .withColumn("rk", dense_rank().over(w))
-      .filter(col("rk") <= 3)
-      .dropDuplicates("v1", "v2")
-      .select("v1", "rk", "v2", "cos")
-      .orderBy("v1", "rk")
+    val n = EngineConf.parquetRowCount(s, s"$d/embeddings.parquet")
+    if (n <= attachMaxRows)
+      lshCandidates(s, d, nTables, bits, seed, nH1)
+        .withColumn("rk", dense_rank().over(w))
+        .filter(col("rk") <= 3)
+        .dropDuplicates("v1", "v2")
+        .select("v1", "rk", "v2", "cos")
+        .orderBy("v1", "rk")
+    else {
+      val shards = math.min(16L,
+        (n + math.max(attachMaxRows, 1L) - 1) /
+          math.max(attachMaxRows, 1L)).toInt
+      (0 until shards)
+        .map(i => shardTopKArtifact(s, d, i, shards, nTables, bits,
+          seed, nH1))
+        .reduce(_ unionAll _)
+        .withColumn("rk", dense_rank().over(w))
+        .filter(col("rk") <= 3)
+        .dropDuplicates("v1", "v2")
+        .select("v1", "rk", "v2", "cos")
+        .orderBy("v1", "rk")
+    }
   }
+
+  /** One shard's top-k as a disk-backed artifact (v1-clustered — the
+    * re-rank's window key): building it is the shard's indexing JOB;
+    * every later query (and every other process) scans k narrow rows
+    * per query vector. */
+  private[operators] def shardTopKArtifact(s: SparkSession, d: String,
+      shard: Int, shards: Int, nTables: Int, bits: Int, seed: Long,
+      nH1: Int): DataFrame =
+    Cache.diskBacked(s, d,
+      s"sim.lsh.topk.$nTables.$bits.$seed.$nH1.s$shard.of$shards",
+      "embeddings.parquet", Seq("v1")) {
+      shardTopK(s, d, shard, shards, nTables, bits, seed, nH1)
+    }
 
   /** One SHARD of the LSH bucket index: the signature rows of the
     * vectors with pmod(vec_id, shards) == shard, as its own

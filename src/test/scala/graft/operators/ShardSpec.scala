@@ -70,6 +70,28 @@ class ShardSpec extends SparkSpec {
       "shard union != unsharded signature set")
   }
 
+  test("annTopK's scale dispatch: a forced small bound routes through " +
+      "per-shard top-k ARTIFACTS and returns the identical result") {
+    val d = SparkSpec.sf01
+    val (tables, bits, seed) = dims(d)
+    val base = Similarity
+      .annTopK(spark, d, tables, bits, seed, Similarity.AnnH1Tables)
+      .collect().map(_.toSeq).toSeq
+    // n = 2000, bound 700 → ceil = 3 shard jobs, each a diskBacked
+    // artifact build; the dispatched query is scans + re-rank.
+    val dispatched = Similarity
+      .annTopK(spark, d, tables, bits, seed, Similarity.AnnH1Tables,
+        attachMaxRows = 700)
+      .collect().map(_.toSeq).toSeq
+    assert(dispatched == base,
+      s"sharded dispatch diverges: ${dispatched.size} vs ${base.size}")
+    val topkTables = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.contains("sim_lsh_topk"))
+    assert(topkTables.length >= 3,
+      s"expected 3 per-shard top-k artifacts, saw: "
+        + topkTables.mkString(", "))
+  }
+
   test("each shard is its own on-disk artifact (the artifact layer's " +
       "bucketing is the shard key)") {
     val d = SparkSpec.sf001
