@@ -41,6 +41,21 @@ object ShardProbe {
       .annTopK(spark, d, tables, bits, seed, Similarity.AnnH1Tables)
     def shard() = Similarity.shardedAnnTopK(spark, d, shards, tables,
       bits, seed, Similarity.AnnH1Tables)
+    if (mode == "dispatch") {
+      // The AUTO-ROUTED case: run annTopK itself and let the heap-
+      // derived bound pick the route. At 2M vectors on an 8 GiB JVM
+      // the bound reads ~1.25M → S=2 sharded artifacts — the heap
+      // where the unsharded broadcast attach is a measured OOM.
+      println(s"AttachBroadcastMaxRows=${Similarity.AttachBroadcastMaxRows}")
+      timed("dispatched annTopK cold")(
+        Similarity.annTopK(spark, d, tables, bits, seed,
+          Similarity.AnnH1Tables).count())
+      graft.Cache.clear(spark, "sim.")
+      timed("dispatched annTopK warm")(
+        Similarity.annTopK(spark, d, tables, bits, seed,
+          Similarity.AnnH1Tables).count())
+      spark.stop(); return
+    }
     if (mode == "shard") {
       // Deployment shape at scale: each shard's top-k is its own JOB
       // (one at a time — its broadcasts live only for its duration),
