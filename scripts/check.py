@@ -497,6 +497,27 @@ def snapshot_bench(repo_dir="."):
     return _snapshot_quiet(repo_dir, rnum)
 
 
+def _quiet_sidecar_ok(data):
+    """Validate a quiet sidecar as a candidate FULL-SUITE round record.
+    Returns (ok, reason). r18 advice: Bench stamps any
+    SPARK_GRAFT_BENCH_EXCLUDE set into the sidecar as "excluded", but
+    nothing here read it — a partial run with an artificially low
+    rep2_total could pass the full-suite quiet gate. A non-empty
+    excluded array now disqualifies the sidecar as the round's quiet
+    record (such runs are off-fixture scale artifacts, committed under
+    their own names like BENCH_SUITE100X_r18.json, never as
+    BENCH_FULL_r{N}_quiet.json)."""
+    if not data.get("pass2"):
+        return False, "no pass2 map"
+    if data.get("rep2_total") is None:
+        return False, "no rep2_total"
+    if data.get("excluded"):
+        return False, (f"stamped excluded={data['excluded']} — a partial "
+                       "run cannot stand as the round's full-suite quiet "
+                       "record")
+    return True, None
+
+
 def _snapshot_quiet(repo_dir, rnum):
     """Persist the round's QUIET-BOX sidecar as
     BENCH_FULL_r{N}_quiet.json. The driver's end-of-round run shares
@@ -557,8 +578,10 @@ def _snapshot_quiet(repo_dir, rnum):
         try:
             with open(dst) as f:
                 cur = json.load(f)
-            dst_ok = bool(cur.get("pass2")) and \
-                cur.get("rep2_total") is not None
+            dst_ok, why = _quiet_sidecar_ok(cur)
+            if not dst_ok:
+                print(f"snapshot-bench: existing {os.path.basename(dst)} "
+                      f"rejected as the round record ({why})")
         except Exception as e:
             print(f"snapshot-bench: existing {os.path.basename(dst)} "
                   f"unreadable ({e}) — will refresh from the live "
@@ -601,11 +624,11 @@ def _snapshot_quiet(repo_dir, rnum):
             try:
                 with open(src) as f:
                     quiet = json.load(f)
-                assert (quiet.get("pass2")
-                        and quiet.get("rep2_total") is not None)
+                ok, why = _quiet_sidecar_ok(quiet)
+                assert ok, why
             except Exception as e:
                 print("snapshot-bench: GATE FAIL — quiet sidecar "
-                      f"unreadable: {e}")
+                      f"unusable: {e}")
                 return 1
             with open(dst, "w") as f:
                 json.dump(quiet, f)
@@ -634,9 +657,10 @@ def _snapshot_quiet(repo_dir, rnum):
     try:
         with open(src) as f:
             quiet = json.load(f)
-        assert quiet.get("pass2") and quiet.get("rep2_total") is not None
+        ok, why = _quiet_sidecar_ok(quiet)
+        assert ok, why
     except Exception as e:
-        print(f"snapshot-bench: GATE FAIL — quiet sidecar unreadable: {e}")
+        print(f"snapshot-bench: GATE FAIL — quiet sidecar unusable: {e}")
         return 1
     with open(dst, "w") as f:
         json.dump(quiet, f)
@@ -679,11 +703,27 @@ def _trend_anchor_check(repo_dir, rnum, warn_only=False):
             return 1
         return 0
     with open(dst) as f:
-        rep2 = json.load(f).get("rep2_total")
+        snap = json.load(f)
+    rep2 = snap.get("rep2_total")
+    ok, why = _quiet_sidecar_ok(snap)
+    if not ok:
+        msg = (f"r{rnum} quiet record {os.path.basename(dst)} is not a "
+               f"valid full-suite sidecar: {why}")
+        if warn_only:
+            print(f"snapshot-bench: WARNING — {msg}")
+            return 0
+        print(f"quiet-anchors: GATE FAIL — {msg}")
+        return 1
     with open(baseline) as f:
         text = f.read()
-    hits = [fmt for fmt in (f"{rep2:.3f}", f"{rep2:.2f}", f"{rep2:.1f}")
-            if fmt in text]
+    # Word-boundary match at 2-3 decimals only (r18 advice): the old
+    # plain-substring + .1f fallback made coincidental hits ("46.7"
+    # inside "146.72") possible; the docstring's contract is 2-3
+    # decimals, so that is what is accepted.
+    import re as _re
+    hits = [fmt for fmt in (f"{rep2:.3f}", f"{rep2:.2f}")
+            if _re.search(r"(?<![\d.])" + _re.escape(fmt) + r"(?![\d])",
+                          text)]
     if hits:
         print(f"quiet-anchors: r{rnum} trend row cites the committed "
               f"sidecar (rep2_total {rep2} found as '{hits[0]}')")

@@ -95,8 +95,11 @@ object Bench {
     // declared quadratics (halfPairs consumers, ivfRanked) are
     // contract-excluded from the embeddings scale axis (SCALING.md),
     // and at a 100x catalog they alone would cost hours. An excluded
-    // set is stamped into the line AND sidecar, so a partial run can
-    // never masquerade as the full suite; the driver never sets this.
+    // set is stamped into the line AND sidecar, and check.py's
+    // _quiet_sidecar_ok REJECTS any stamped-excluded sidecar as a
+    // round's full-suite quiet record (r19) — the stamp alone only
+    // recorded the exclusion, it did not enforce anything. The driver
+    // never sets this.
     val excluded = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
