@@ -46,7 +46,8 @@ object ShardProbe {
       // derived bound pick the route. At 2M vectors on an 8 GiB JVM
       // the bound reads ~1.25M → S=2 sharded artifacts — the heap
       // where the unsharded broadcast attach is a measured OOM.
-      println(s"AttachBroadcastMaxRows=${Similarity.AttachBroadcastMaxRows}")
+      println("attachBroadcastMaxRows=" +
+        s"${Similarity.attachBroadcastMaxRows(spark)}")
       timed("dispatched annTopK cold")(
         Similarity.annTopK(spark, d, tables, bits, seed,
           Similarity.AnnH1Tables).count())

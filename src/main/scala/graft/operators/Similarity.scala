@@ -195,9 +195,40 @@ object Similarity {
     * partitions by vec_id — [[shardedAnnTopK]], whose per-shard
     * attach is n/S rows and fits where the unsharded 2M attach
     * dies). Under the bound a too-small heap now backs off to the
-    * wide path instead of OOMing. */
-  private[operators] val AttachBroadcastMaxRows: Long =
-    math.min(4000000L, Runtime.getRuntime.maxMemory() / 6400L)
+    * wide path instead of OOMing.
+    *
+    * Derivation point (r18 advice, fixed r19): the bound is computed
+    * AT CALL TIME from the SESSION, not frozen at class-init from
+    * whichever JVM loaded the class. The broadcast hash relation
+    * lives in EXECUTOR heap, so in any non-local master the budget
+    * comes from `spark.executor.memory` (the conf that sizes the JVM
+    * that actually builds the relation); the measured
+    * `Runtime.maxMemory()` path remains for local masters, where
+    * driver and executors share one JVM and the conf is ignored by
+    * Spark itself. Sessions created with different memory settings
+    * in one JVM now get their own bound. */
+  private[operators] def attachBroadcastMaxRows(s: SparkSession): Long = {
+    val master = s.sparkContext.master
+    val heapBytes =
+      if (master == "local" || master.startsWith("local["))
+        Runtime.getRuntime.maxMemory()
+      else s.sparkContext.getConf
+        .getSizeAsBytes("spark.executor.memory", "1g")
+    boundForHeap(heapBytes)
+  }
+
+  /** min(4M design cap, heap/6400 measured budget) — see
+    * [[attachBroadcastMaxRows]]'s doc for both constants' provenance. */
+  private[operators] def boundForHeap(heapBytes: Long): Long =
+    math.min(4000000L, heapBytes / 6400L)
+
+  /** Single-box shard-count cap for [[annTopK]]'s sharded route: each
+    * shard is meant to be an executor group, and past 16 groups a
+    * single box is the wrong tool regardless of heap. The dispatcher
+    * FAILS FAST past this (r18 advice) instead of silently capping —
+    * a capped S would put > bound rows in every shard's member-side
+    * broadcast, reintroducing exactly the OOM the bound prevents. */
+  private[operators] val MaxShards: Int = 16
 
   /** Directed scored LSH candidate pairs (v1 → v2, v1 ≠ v2, cos
     * rounded to 4dp) from the shared bucket index: own-bucket join on
@@ -223,13 +254,15 @@ object Similarity {
     * identical values (SimilaritySpec pins equality). */
   private[operators] def lshCandidates(s: SparkSession, d: String,
       nTables: Int, bits: Int, seed: Long, nH1: Int,
-      attachMaxRows: Long = AttachBroadcastMaxRows): DataFrame = {
+      attachMaxRows: Long = -1L): DataFrame = {
+    val attachBound =
+      if (attachMaxRows >= 0) attachMaxRows else attachBroadcastMaxRows(s)
     val sigs = lshBuckets(s, d, nTables, bits, seed)
     val v = vecs(s, d)
     val n = EngineConf.parquetRowCount(s, s"$d/embeddings.parquet")
     def cosOf(ea: Column, na: Column, eb: Column, nb: Column): Column =
       round(vecDot(ea, eb) / sqrt(na * nb), 4)
-    if (n <= attachMaxRows) {
+    if (n <= attachBound) {
       val probes = sigs.select(col("vec_id").as("v1"), col("tbl"),
         explode(when(col("tbl") < nH1, probeBuckets(bits))
           .otherwise(array(col("bucket")))).as("bucket"))
@@ -494,26 +527,39 @@ object Similarity {
     * artifact scans re-ranked. Exactness is ShardSpec's pinned
     * property (shards partition members ⇒ global top-k ⊆ per-shard
     * union); the dispatcher is spec-pinned equal to the unsharded
-    * form by forcing a small bound at fixture scale. Shard count is
-    * capped at 16 — past that a single box is the wrong tool
-    * regardless (each shard is meant to be an executor group). */
+    * form by forcing a small bound at fixture scale. Shard count
+    * needed past [[MaxShards]] is a FAIL-FAST (r18 advice): capping
+    * S silently would hand every shard's member-side broadcast more
+    * than the bound's rows — the exact OOM the bound exists to
+    * prevent — so the dispatcher raises a clear past-single-box-scale
+    * error at PLAN time instead of dying mid-job. */
   private[operators] def annTopK(s: SparkSession, d: String,
       nTables: Int, bits: Int, seed: Long, nH1: Int,
-      attachMaxRows: Long = AttachBroadcastMaxRows): DataFrame = {
+      attachMaxRows: Long = -1L): DataFrame = {
+    val attachBound =
+      if (attachMaxRows >= 0) attachMaxRows else attachBroadcastMaxRows(s)
     val w = Window.partitionBy("v1")
       .orderBy(col("cos").desc, col("v2"))
     val n = EngineConf.parquetRowCount(s, s"$d/embeddings.parquet")
-    if (n <= attachMaxRows)
-      lshCandidates(s, d, nTables, bits, seed, nH1)
+    if (n <= attachBound)
+      lshCandidates(s, d, nTables, bits, seed, nH1, attachBound)
         .withColumn("rk", dense_rank().over(w))
         .filter(col("rk") <= 3)
         .dropDuplicates("v1", "v2")
         .select("v1", "rk", "v2", "cos")
         .orderBy("v1", "rk")
     else {
-      val shards = math.min(16L,
-        (n + math.max(attachMaxRows, 1L) - 1) /
-          math.max(attachMaxRows, 1L)).toInt
+      val bound = math.max(attachBound, 1L)
+      val needed = (n + bound - 1) / bound
+      if (needed > MaxShards)
+        throw new IllegalStateException(
+          s"annTopK: $n vectors need $needed shards of <= $bound rows " +
+            s"each, past the $MaxShards-shard single-box cap " +
+            s"(~${MaxShards * bound} rows at this executor heap). This " +
+            "corpus is past single-box scale: run shardTopKArtifact " +
+            "builds as independent jobs on separate executor groups, " +
+            "or raise spark.executor.memory to lift the attach bound.")
+      val shards = needed.toInt
       (0 until shards)
         .map(i => shardTopKArtifact(s, d, i, shards, nTables, bits,
           seed, nH1))
@@ -631,7 +677,7 @@ object Similarity {
     val qv = v.select(col("vec_id").as("v1"),
       col("embedding").as("ea"), col("nsq").as("na"))
     val attachQueries: DataFrame => DataFrame =
-      if (n * (shards + 1) <= AttachBroadcastMaxRows)
+      if (n * (shards + 1) <= attachBroadcastMaxRows(s))
         df => df.join(broadcast(qv), "v1")
       else df => df.join(qv, "v1")
     val index = lshBucketsShard(s, d, nTables, bits, seed, shard, shards)

@@ -92,6 +92,42 @@ class ShardSpec extends SparkSpec {
         + topkTables.mkString(", "))
   }
 
+  test("past the 16-shard cap the dispatcher FAILS FAST with a " +
+      "past-single-box-scale error (r18 advice: a silent cap would " +
+      "put > bound rows in every member-side broadcast)") {
+    val d = SparkSpec.sf001
+    val (tables, bits, seed) = dims(d)
+    val n = graft.EngineConf.parquetRowCount(spark,
+      s"$d/embeddings.parquet")
+    // bound 1 → needed = n shards >> 16; must throw at PLAN time
+    // (before any job), naming the cap and the remedy.
+    val e = intercept[IllegalStateException] {
+      Similarity.annTopK(spark, d, tables, bits, seed,
+        Similarity.AnnH1Tables, attachMaxRows = 1)
+    }
+    assert(e.getMessage.contains("single-box")
+      && e.getMessage.contains(s"$n vectors"), e.getMessage)
+    // ... and one shard short of the cap still dispatches (the cap is
+    // needed > MaxShards, not >=): bound ceil(n/16) → needed == 16.
+    val bound16 = (n + Similarity.MaxShards - 1) / Similarity.MaxShards
+    Similarity.annTopK(spark, d, tables, bits, seed,
+      Similarity.AnnH1Tables, attachMaxRows = bound16)
+  }
+
+  test("attach bound derives from the SESSION at call time: local " +
+      "master reads this JVM's heap; the budget math matches the " +
+      "measured calibration points") {
+    // local[...] master → maxMemory()/6400 capped at 4M
+    assert(Similarity.attachBroadcastMaxRows(spark) ==
+      math.min(4000000L, Runtime.getRuntime.maxMemory() / 6400L))
+    // calibration: 16 GiB passes at 2M (bound above it), 8 GiB fails
+    // at 2M (bound below it) — the r18 measured pass/fail pair.
+    assert(Similarity.boundForHeap(16L << 30) > 2000000L)
+    assert(Similarity.boundForHeap(8L << 30) < 2000000L)
+    // design cap: no heap lifts the bound past 4M rows.
+    assert(Similarity.boundForHeap(1L << 40) == 4000000L)
+  }
+
   test("each shard is its own on-disk artifact (the artifact layer's " +
       "bucketing is the shard key)") {
     val d = SparkSpec.sf001
