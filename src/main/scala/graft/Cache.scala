@@ -42,6 +42,7 @@ object Cache {
     // with the SparkContext; this frees the plan graphs (and the
     // session references the key holds) without needing weak refs.
     memo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    attachedFp.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     memo.getOrElseUpdate((s, dir, name),
       build.persist(StorageLevel.MEMORY_AND_DISK))
   }
@@ -123,7 +124,21 @@ object Cache {
     * The returned frame still goes through [[cached]] (persisted
     * MEMORY_AND_DISK): repeated consumers inside one query pass hit
     * memory; a clear() drops memory only and the next entry re-opens
-    * the table. */
+    * the table.
+    *
+    * Long-lived readers across a source REGENERATION (r18 advice):
+    * a session that attached version v_old keeps a memoized frame
+    * over v_old's files, and once another process publishes v_new the
+    * builder-side GC deletes v_old after its grace period — the old
+    * session's next query would list vanished files. So every
+    * diskBacked ENTRY re-fingerprints the source (a driver-side FS
+    * listing, no job — the same listing ensureArtifact already does)
+    * and, when the fingerprint moved, drops the stale memo entry and
+    * re-attaches the current version. A long-lived session therefore
+    * follows regenerations automatically instead of needing a manual
+    * Cache.clear; the only residual window is a scan already
+    * IN FLIGHT when the GC fires, which the 10-minute grace bounds
+    * (see [[gcStale]]). */
   def diskBacked(s: SparkSession, dir: String, name: String,
       sourceTable: String, bucketCols: Seq[String], buckets: Int = 32)
       (build: => DataFrame): DataFrame =
@@ -133,8 +148,29 @@ object Cache {
     // Never set outside diagnostics — artifacts certify the disk path.
     if (sys.props.get("graft.diskidx").contains("off"))
       cached(s, dir, name)(build)
-    else cached(s, dir, name)(
-      ensureArtifact(s, dir, name, sourceTable, bucketCols, buckets)(build))
+    else {
+      val key = (s, dir, name)
+      val fp = layoutFp(s, s"$dir/$sourceTable")
+      memo.synchronized {
+        if (attachedFp.get(key).exists(_ != fp)) {
+          memo.remove(key).foreach(df =>
+            try df.unpersist(blocking = false)
+            catch { case _: Throwable => () })
+          attachedFp.remove(key)
+        }
+      }
+      val out = cached(s, dir, name)(
+        ensureArtifact(s, dir, name, sourceTable, bucketCols, buckets)(
+          build))
+      memo.synchronized { attachedFp(key) = fp }
+      out
+    }
+
+  /** Source fingerprint each live diskBacked memo entry was attached
+    * under — consulted on every entry so a stale attachment is
+    * replaced before its files can vanish under it. */
+  private val attachedFp = scala.collection.mutable.Map
+    .empty[(SparkSession, String, String), String]
 
   private val pid = ProcessHandle.current().pid()
   private def san(x: String): String = x.replaceAll("[^A-Za-z0-9]", "_")
@@ -156,6 +192,13 @@ object Cache {
       s"$n:$bytes:$mt"
     }
   }
+
+  /** Layout-versioned source fingerprint. "v2:" = artifact LAYOUT
+    * version (one file per bucket since the writeBucketed repartition
+    * fix) — bumping it invalidates artifacts written under an older
+    * layout even when the source fingerprint still matches. */
+  private def layoutFp(s: SparkSession, path: String): String =
+    "v2:" + fingerprint(s, path)
 
   /** Root under which all processes share index artifacts. A val so
     * tests can read it; the layout below it is
@@ -212,11 +255,7 @@ object Cache {
   private def ensureArtifact(s: SparkSession, dir: String, name: String,
       sourceTable: String, bucketCols: Seq[String], buckets: Int)
       (build: => DataFrame): DataFrame = synchronized {
-    // "v2:" = artifact LAYOUT version (one file per bucket since the
-    // writeBucketed repartition fix) — bumping it invalidates
-    // artifacts written under an older layout even when the source
-    // fingerprint still matches.
-    val fp = "v2:" + fingerprint(s, s"$dir/$sourceTable")
+    val fp = layoutFp(s, s"$dir/$sourceTable")
     val h = sha12(fp)
     val root = java.nio.file.Paths.get(
       s"$SharedRoot/${san(dir)}/${san(name)}")

@@ -109,6 +109,26 @@ class DiskIndexSpec extends SparkSpec {
     assert(total == 50L, "rebuild must reflect the NEW source")
   }
 
+  test("a LONG-LIVED session straddling a source regeneration " +
+      "re-attaches automatically — no manual clear() needed (r18 " +
+      "advice: the superseded version's files are GC'd, so a stale " +
+      "memoized attachment would read vanished files)") {
+    val fx = new Fixture("e")
+    fx.frame.count()
+    assert(fx.builds == 1)
+    writeSource(fx.dir, 50) // regeneration: new fingerprint
+    // NO Cache.clear here — this is the long-lived-reader path the
+    // r18 advice flagged: the memoized entry must be detected stale
+    // on the next diskBacked ENTRY and replaced with the new version.
+    val total = fx.frame.agg(sum("n")).head().getLong(0)
+    assert(fx.builds == 2,
+      "straddling session must rebuild/re-attach on its next entry")
+    assert(total == 50L, "the re-attached frame must read the NEW source")
+    // ... and an UNCHANGED source keeps the memo hit (no churn).
+    fx.frame.count()
+    assert(fx.builds == 2, "unchanged fingerprint must stay memoized")
+  }
+
   test("a SECOND PROCESS re-opens the published artifact with zero " +
       "builds and zero jobs (the r18 cross-process publish protocol)") {
     // Shared (NOT per-pid) source dir: the artifact path derives from
