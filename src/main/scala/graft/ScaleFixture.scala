@@ -151,6 +151,20 @@ object ScaleFixture {
       }
   }
 
+  /** Distributed since r19 (the embeddings treatment, r18 verdict
+    * next-round #4): every doc is a PURE FUNCTION of its doc_id. The
+    * r16 form accumulated texts in a driver-side ArrayBuffer because
+    * the planted near-dups copy "an earlier doc" — but each text only
+    * ever depends on EARLIER texts through draws from its own per-id
+    * seeded PRNG, so the buffer was an implementation artifact, not a
+    * data dependency: `textOf(id)` resolves a near-dup's source by
+    * RECOMPUTING it (chains recurse; a chain link is another near-dup
+    * with probability ≈ nNear/id ≤ 5%, so expected depth is ~1 and
+    * the recursion is trivially bounded in practice). Draw ORDER per
+    * id is kept byte-identical to the sequential form, so the
+    * distributed fixture equals the r16 fixture row-for-row (verified
+    * at factor 100 before the switch; planted exact/near rates are
+    * unchanged by construction). */
   private def documents(spark: SparkSession, src: String, dst: String,
       factor: Int): Unit = {
     val docs = Tables.documents(spark, src)
@@ -167,38 +181,41 @@ object ScaleFixture {
     val nNew = nBase * factor
     val nExact = math.max(1, (8.0 * nNew / 5000).round.toInt)
     val nNear = math.max(1, (248.0 * nNew / 5000).round.toInt)
+    val nFresh = nNew - nExact - nNear
     def pickWord(rnd: scala.util.Random): String = {
       val t = (rnd.nextDouble() * totW).toLong
       val i = java.util.Arrays.binarySearch(cum, t + 1)
       vocab(if (i >= 0) i else -i - 1)
     }
-    // fresh docs first, then the planted tails: near-dup copies
-    // (single-token insert/delete of an earlier doc — sources drawn
-    // from everything generated so far, so chains arise naturally,
-    // as measured), then exact copies.
-    val built = scala.collection.mutable.ArrayBuffer.empty[String]
-    val rows = (0 until nNew).map { id =>
+    // id layout (unchanged from r16): fresh docs first, then near-dup
+    // copies (single-token insert/delete of an earlier doc — sources
+    // drawn from everything before them, so chains arise naturally),
+    // then exact copies (always of a fresh doc). genText ADVANCES the
+    // caller's rnd exactly as the sequential loop did, so the
+    // lang/source draws that follow stay on the same PRNG positions.
+    def genText(id: Int, rnd: scala.util.Random): String =
+      if (id >= nNew - nExact) {
+        textOf(rnd.nextInt(nFresh))
+      } else if (id >= nFresh) {
+        val src = textOf(rnd.nextInt(id)).split(" ").toBuffer
+        if (rnd.nextBoolean() && src.length > 10)
+          src.remove(rnd.nextInt(src.length))
+        else src.insert(rnd.nextInt(src.length + 1), pickWord(rnd))
+        src.mkString(" ")
+      } else {
+        val l = lengths(rnd.nextInt(lengths.length))
+        (0 until l).map(_ => pickWord(rnd)).mkString(" ")
+      }
+    def textOf(id: Int): String =
+      genText(id, new scala.util.Random(1000003L * id + 17))
+    import spark.implicits._
+    spark.range(nNew).repartition(32).map { idL =>
+      val id = idL.toInt
       val rnd = new scala.util.Random(1000003L * id + 17)
-      val text =
-        if (id >= nNew - nExact) {
-          built(rnd.nextInt(nNew - nExact - nNear))
-        } else if (id >= nNew - nExact - nNear) {
-          val src = built(rnd.nextInt(id)).split(" ").toBuffer
-          if (rnd.nextBoolean() && src.length > 10)
-            src.remove(rnd.nextInt(src.length))
-          else src.insert(rnd.nextInt(src.length + 1), pickWord(rnd))
-          src.mkString(" ")
-        } else {
-          val l = lengths(rnd.nextInt(lengths.length))
-          (0 until l).map(_ => pickWord(rnd)).mkString(" ")
-        }
-      built += text
+      val text = genText(id, rnd)
       val (lang, source) = langSrc(rnd.nextInt(langSrc.length))
       (id.toLong, text, lang, source, text.length.toLong)
-    }
-    spark.createDataFrame(rows)
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .repartition(16)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode(SaveMode.Overwrite).parquet(s"$dst/documents.parquet")
   }
 
