@@ -165,7 +165,7 @@ object ScaleFixture {
     * distributed fixture equals the r16 fixture row-for-row (verified
     * at factor 100 before the switch; planted exact/near rates are
     * unchanged by construction). */
-  private def documents(spark: SparkSession, src: String, dst: String,
+  private[graft] def documents(spark: SparkSession, src: String, dst: String,
       factor: Int): Unit = {
     val docs = Tables.documents(spark, src)
     val texts = docs.select("text").collect().map(_.getString(0))
