@@ -24,22 +24,40 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Per-doc record (doc_id, lang, n_chars, distinct 3-word shingle
-    * SET as one array) — THE persisted shingle base. One exchange
-    * builds it: the explode → collect_set aggregation dedups in the
-    * same shuffle the old explode → distinct paid, and every other
-    * consumer is then row-local — minhash signatures fold
-    * array_min/transform over the set (no second groupBy over the
-    * corpus-sized shingle rows), Jaccard verification joins two set
-    * rows and intersects in place, set sizes are `size(shset)`, and
-    * the exploded row form ([[shingles]]) is a cheap explode of the
-    * persisted arrays. Round 9: this replaces the exploded-rows
-    * cache + two full groupBys over it (distinct + collect_set) that
-    * dominated the pair-build warm cost. The slice length is clamped
-    * at 0 — docs under 3 whitespace tokens yield no shingles (and so
-    * never appear in shingle-based dedup output) instead of crashing
-    * on a negative slice length. */
+    * set as one array, and the 16 MinHash signature values) — THE
+    * persisted shingle base. One exchange builds it: the explode →
+    * aggregate dedups in the same shuffle the old explode → distinct
+    * paid, and every other consumer is then row-local.
+    *
+    * HASH-NARROW since r19 (the fingerprint-shuffle discipline
+    * applied at the source): shingles are xxhash64'd MAP-SIDE, so the
+    * build exchange, the cached frame, and every downstream shuffle
+    * carry 8-byte longs instead of ~40-byte strings — measured ~5x.
+    * The r17 string base exhausted this box's 64 GB of spill at the
+    * 5M-doc decade before the band join even finished; nothing
+    * downstream ever needed the strings: dedup Jaccards are COUNTS of
+    * distinct elements (identical on hashed sets modulo a ~2⁻⁶⁴
+    * within-pair collision, the tolerance dedup_exact_fingerprint
+    * already carries — and the DuckDB oracle computes ground truth
+    * from the text, so no oracle value depends on the representation).
+    *
+    * The 16 MinHash values ride the SAME aggregation as min(hash(sh,
+    * i)) over the raw shingle STRINGS — bit-identical to the r9
+    * array_min/transform form (min over the multiset == min over the
+    * set), with partial aggregation making them free map-side; this
+    * also removes the per-row 16-hash re-scan every pair-build pass
+    * used to pay.
+    *
+    * The slice length is clamped at 0 — docs under 3 whitespace
+    * tokens yield no shingles (and so never appear in shingle-based
+    * dedup output) instead of crashing on a negative slice length. */
   private def shingleSets(s: SparkSession, d: String): DataFrame =
     graft.Cache.cached(s, d, "dedup.shingleSets") {
+      val aggs =
+        first("lang").as("lang") +: first("n_chars").as("n_chars") +:
+          collect_set(xxhash64(col("sh"))).as("shset") +:
+          (0 until 16).map(i =>
+            min(hash(col("sh"), lit(i))).as(s"mh_$i"))
       Tables.documents(s, d)
         .withColumn("ws", split(col("text"), " "))
         .select(col("doc_id"), col("lang"), col("n_chars"),
@@ -48,8 +66,7 @@ object Dedup {
               " (w, i) -> concat(w, ' ', element_at(ws, i + 2), ' '," +
               " element_at(ws, i + 3)))")).as("sh"))
         .groupBy("doc_id")
-        .agg(first("lang").as("lang"), first("n_chars").as("n_chars"),
-          collect_set(col("sh")).as("shset"))
+        .agg(aggs.head, aggs.tail: _*)
     }
 
   /** Exploded (doc_id, lang, n_chars, sh) shingle rows, derived from
@@ -325,17 +342,14 @@ object Dedup {
       Seq("d1")) { minhashPairsBuild(s, d) }
 
   private[graft] def minhashPairsBuild(s: SparkSession, d: String,
-      broadcastMaxDocs: Long = VerifyBroadcastMaxDocs): DataFrame = {
-    // All 16 minhashes fold ROW-LOCALLY over the persisted per-doc
-    // set (array_min over hash(x, i) — the same murmur3-of-(value,
-    // seed-literal) the old min(hash(sh, i)) aggregate computed, so
-    // signatures are bit-identical): no exchange at all where the
-    // old shape paid a full groupBy over the corpus-sized shingle
-    // rows. No 16x row blow-up either way.
-    val mhCols: Seq[Column] = (0 until 16).map(i =>
-      expr(s"array_min(transform(shset, x -> hash(x, $i)))")
-        .as(s"mh_$i"))
-    val mh = shingleSets(s, d).select(col("doc_id") +: mhCols: _*)
+      broadcastMaxDocs: Long = VerifyBroadcastMaxDocs,
+      pruneMaxDocs: Long = VerifyPruneMaxDocs): DataFrame = {
+    // The 16 minhashes are PRE-AGGREGATED columns of the shingle base
+    // since r19 (same min-of-murmur3-(value, seed) values the r9
+    // array_min/transform fold computed — see shingleSets) — reading
+    // them is a column projection, no per-pass 16-hash re-scan.
+    val mh = shingleSets(s, d).select(
+      col("doc_id") +: (0 until 16).map(i => col(s"mh_$i")): _*)
     val bandStructs = (0 until 8).map(b =>
       struct(lit(b).as("band"), col(s"mh_${2 * b}").as("h0"),
         col(s"mh_${2 * b + 1}").as("h1")))
@@ -343,42 +357,59 @@ object Dedup {
         explode(array(bandStructs: _*)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"),
         col("bd.h0").as("h0"), col("bd.h1").as("h1"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band")
-          && col("x.h0") === col("y.h0")
-          && col("x.h1") === col("y.h1")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
+    // The candidate pair set is reused by every verify tier (and
+    // three times on the pruned path), so it rides the session cache
+    // — released with the rest of the dedup. group.
+    val cand = graft.Cache.cached(s, d, "dedup.cand") {
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band")
+            && col("x.h0") === col("y.h0")
+            && col("x.h1") === col("y.h1")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+    }
     val sets = shingleSets(s, d)
-    // Verify-attach dispatch (the lshCandidates discipline, measured
-    // at the 100x fixture): the NARROW (d1, d2) candidate set is
-    // banding-bounded and broadcastable at any scale, but the old
-    // double-broadcast ALSO broadcast the candidates JOINED WITH
-    // their d1 shingle sets — candidates x ~KB string arrays, which
-    // is corpus-content-sized and died on the driver at 500k docs
-    // ("Not enough memory to build and broadcast"). Up to the row
-    // bound the set1-carrying side still broadcasts (fixture-scale
-    // fast path: zero exchanges); beyond it both attaches run as
-    // unhinted joins — the planner co-partitions candidates and the
-    // cached set frame on d1/d2, and the set1-carrying rows move
-    // through a SHUFFLE sized candidates x set bytes, distributed
-    // instead of driver-resident. DedupSpec pins path equality.
+    // Verify-attach dispatch, three tiers (r19 extends the r17 two):
+    // the NARROW (d1, d2) candidate set is banding-bounded at any
+    // scale, but candidates JOINED WITH their shingle sets are
+    // corpus-content-sized.
+    //  1. nDocs ≤ broadcastMaxDocs — the oracle-fixture fast path:
+    //     double-broadcast, zero exchanges (hashed sets since r19 —
+    //     smaller broadcast, same Jaccards; see shingleSets).
+    //  2. ≤ pruneMaxDocs — the single-box scale path, measured at the
+    //     5M-doc decade where the r17 full-frame attach exhausted
+    //     64 GB of spill: the set frames SEMI-PRUNE against the
+    //     broadcast candidate-id lists, so only matched docs' sets
+    //     ever reach an exchange — the corpus-sized set frame streams
+    //     through a broadcast-hash filter instead of shuffling.
+    //  3. beyond pruneMaxDocs (candidate ids no longer broadcastable
+    //     — the true 100-TB tail) — the prune drops out and the
+    //     attaches co-partition the full set frame: the r17 tier-2
+    //     shape at 1/5 the bytes.
+    // DedupSpec pins all three tiers pair- and Jaccard-identical.
     val nDocs = EngineConf.parquetRowCount(s, s"$d/documents.parquet")
-    val s1 = sets.select(col("doc_id").as("d1"), col("shset").as("set1"))
-    val s2 = sets.select(col("doc_id").as("d2"), col("shset").as("set2"))
-    val attached =
-      if (nDocs <= broadcastMaxDocs)
-        broadcast(broadcast(cand).join(s1, "d1")).join(s2, "d2")
-      else
-        cand.join(s1, "d1").join(s2, "d2")
-    attached
+    def jacOut(attached: DataFrame): DataFrame = attached
       .withColumn("inter",
         size(array_intersect(col("set1"), col("set2"))))
       .withColumn("jac", round(col("inter").cast("double")
         / (size(col("set1")) + size(col("set2")) - col("inter")), 4))
       .filter(col("jac") >= 0.8)
       .select("d1", "d2", "jac")
+    val s1 = sets.select(col("doc_id").as("d1"), col("shset").as("set1"))
+    val s2 = sets.select(col("doc_id").as("d2"), col("shset").as("set2"))
+    if (nDocs <= broadcastMaxDocs)
+      jacOut(broadcast(broadcast(cand).join(s1, "d1")).join(s2, "d2"))
+    else {
+      val (a1, a2) =
+        if (nDocs <= pruneMaxDocs)
+          (s1.join(broadcast(cand.select("d1").distinct()),
+            Seq("d1"), "left_semi"),
+           s2.join(broadcast(cand.select("d2").distinct()),
+             Seq("d2"), "left_semi"))
+        else (s1, s2)
+      jacOut(cand.join(a1, "d1").join(a2, "d2"))
+    }
   }
 
   /** Doc-count bound for [[minhashPairsBuild]]'s broadcast verify
@@ -387,6 +418,13 @@ object Dedup {
     * fixture measured it past the driver's broadcast build budget.
     * Beyond the bound the verify joins run co-partitioned. */
   private[operators] val VerifyBroadcastMaxDocs = 100000L
+
+  /** Doc-count bound for the tier-2 semi-prune: candidate IDS are
+    * banding-bounded (linear in the duplicate rate — ~0.5% of docs at
+    * the planted rates), so broadcasting them holds far past any
+    * single box; 50M docs ≈ a few MB of ids. Past it the attach
+    * degrades to the co-partitioned full-frame form (tier 3). */
+  private[operators] val VerifyPruneMaxDocs = 50000000L
 
   /** Connected-component labels (n → min doc_id of its component)
     * over the symmetric MinHash pair graph, memoized per (session,

@@ -39,17 +39,25 @@ class DedupSpec extends SparkSpec {
     assert(got.values.forall(_ >= 0.8))
   }
 
-  test("minhash verify: co-partitioned attach path == broadcast path") {
-    // broadcastMaxDocs = 0 forces the join shape the 100x fixture
-    // (500k docs) selects in production, where broadcasting the
-    // set1-carrying candidate rows blew the driver's broadcast
-    // budget. Same verified pairs, same 4dp Jaccards, at two SFs.
+  test("minhash verify: all three attach tiers agree — broadcast " +
+      "strings, hashed+semi-pruned, hashed co-partitioned full frame") {
+    // Forced bounds select each tier at fixture scale: tier 1 is the
+    // oracle plan (string sets, double broadcast); tier 2 is what the
+    // 100x/1000x fixtures take in production (xxhash64-narrowed sets,
+    // candidate-id semi-prune — the r19 shape after the 5M-doc decade
+    // exhausted 64 GB of spill on the r17 full-frame attach); tier 3
+    // is the past-broadcastability tail (hashed, no prune). Same
+    // verified pairs, same 4dp Jaccards, at two SFs.
     Seq(SparkSpec.sf001, SparkSpec.sf01).foreach { sf =>
-      def pairs(maxDocs: Long): Seq[String] =
-        Dedup.minhashPairsBuild(spark, sf, broadcastMaxDocs = maxDocs)
+      def pairs(maxDocs: Long, pruneMax: Long): Seq[String] =
+        Dedup.minhashPairsBuild(spark, sf, broadcastMaxDocs = maxDocs,
+          pruneMaxDocs = pruneMax)
           .collect().map(_.mkString("|")).toSeq.sorted
-      assert(pairs(Long.MaxValue) == pairs(0L),
-        s"minhash verify paths diverge at $sf")
+      val t1 = pairs(Long.MaxValue, Long.MaxValue)
+      assert(t1 == pairs(0L, Long.MaxValue),
+        s"tier-2 (hashed + pruned) diverges from tier-1 at $sf")
+      assert(t1 == pairs(0L, 0L),
+        s"tier-3 (hashed full-frame) diverges from tier-1 at $sf")
     }
   }
 
