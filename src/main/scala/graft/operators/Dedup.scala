@@ -41,12 +41,13 @@ object Dedup {
     * already carries — and the DuckDB oracle computes ground truth
     * from the text, so no oracle value depends on the representation).
     *
-    * The 16 MinHash values ride the SAME aggregation as min(hash(sh,
-    * i)) over the raw shingle STRINGS — bit-identical to the r9
-    * array_min/transform form (min over the multiset == min over the
-    * set), with partial aggregation making them free map-side; this
-    * also removes the per-row 16-hash re-scan every pair-build pass
-    * used to pay.
+    * The [[MinhashFuncs]] MinHash values ride the SAME aggregation as
+    * min(hash(sh, i)) over the raw shingle STRINGS — the same
+    * min-of-murmur3-(value, seed) definition the r9
+    * array_min/transform form computed (min over the multiset == min
+    * over the set), with partial aggregation making them free
+    * map-side; this also removes the per-row hash re-scan every
+    * pair-build pass used to pay.
     *
     * The slice length is clamped at 0 — docs under 3 whitespace
     * tokens yield no shingles (and so never appear in shingle-based
@@ -56,7 +57,7 @@ object Dedup {
       val aggs =
         first("lang").as("lang") +: first("n_chars").as("n_chars") +:
           collect_set(xxhash64(col("sh"))).as("shset") +:
-          (0 until 16).map(i =>
+          (0 until MinhashFuncs).map(i =>
             min(hash(col("sh"), lit(i))).as(s"mh_$i"))
       Tables.documents(s, d)
         .withColumn("ws", split(col("text"), " "))
@@ -162,12 +163,14 @@ object Dedup {
         .orderBy("d1", "d2")
     }),
 
-    // Near-dup via MinHash + LSH banding (16 murmur3 hash functions,
-    // 8 bands x 2 rows), then exact-Jaccard verification of the
-    // candidates — the scale path: no all-pairs join anywhere.
-    // P[miss] for J=0.8 is (1-0.8^2)^8 ~ 2.8e-4 per pair; exact
-    // verification makes every emitted pair true, so at t2 scale the
-    // output equals the unblocked exact-Jaccard ground truth.
+    // Near-dup via MinHash + LSH banding (48 murmur3 hash functions,
+    // 16 bands x 3 rows since r19 — see MinhashBands for the measured
+    // hot-bucket quadratic the 2-row scheme grew at 5M docs), then
+    // exact-Jaccard verification of the candidates — the scale path:
+    // no all-pairs join anywhere. P[miss] for J=0.8 is
+    // (1-0.8^3)^16 ~ 1.0e-5 per pair; exact verification makes every
+    // emitted pair true, so at t2 scale the output equals the
+    // unblocked exact-Jaccard ground truth.
     //
     // Exchange budget (the round-2 version paid 6 shuffles): the
     // band self-join is left UNHINTED — the bands frame is n·8 rows
@@ -341,31 +344,54 @@ object Dedup {
     graft.Cache.diskBacked(s, d, "dedup.pairs", "documents.parquet",
       Seq("d1")) { minhashPairsBuild(s, d) }
 
+  /** Banding geometry. r19 moved 8 bands × 2 rows → [[MinhashBands]]
+    * bands × [[MinhashRows]] rows after the 1000x documents decade
+    * caught a QUADRATIC in the 2-row scheme: a 2-row band bucket is
+    * "docs sharing the two globally-minimum common-shingle hashes",
+    * and those buckets grow LINEARLY with the corpus (829 docs at
+    * 500k → 8,170 at 5M, measured by BandOccProbe), so raw candidate
+    * pairs grew 97x across one decade (8.3M → 809M) and the pair
+    * build exhausted 64 GB of spill. A third row multiplies another
+    * ~4% coincidence probability into every hot bucket (occupancy
+    * p³·n instead of p²·n) while 16 bands keep recall BETTER than the
+    * old scheme: P[miss | J=0.8] = (1−0.8³)¹⁶ ≈ 1.0e-5 vs the old
+    * (1−0.8²)⁸ ≈ 2.8e-4. Verified-pair outputs stay the exact
+    * ground truth the oracle computes (misses re-checked at every SF
+    * and both off-fixture decades after the change). */
+  private[operators] val MinhashBands = 16
+  private[operators] val MinhashRows = 3
+  private[operators] val MinhashFuncs = MinhashBands * MinhashRows
+
+  /** The (doc_id, band, h0..h{rows-1}) LSH banding rows. The minhash
+    * values are PRE-AGGREGATED columns of the shingle base since r19
+    * (same min-of-murmur3-(value, seed) values the r9
+    * array_min/transform fold computed — see shingleSets) — reading
+    * them is a column projection, no per-pass hash re-scan. */
+  private[operators] def minhashBands(s: SparkSession,
+      d: String): DataFrame = {
+    val mh = shingleSets(s, d).select(
+      col("doc_id") +: (0 until MinhashFuncs).map(i => col(s"mh_$i")): _*)
+    val bandStructs = (0 until MinhashBands).map(b =>
+      struct(lit(b).as("band") +: (0 until MinhashRows).map(r =>
+        col(s"mh_${MinhashRows * b + r}").as(s"h$r")): _*))
+    mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
+      .select(col("doc_id") +: (col("bd.band").as("band") +:
+        (0 until MinhashRows).map(r => col(s"bd.h$r").as(s"h$r"))): _*)
+  }
+
   private[graft] def minhashPairsBuild(s: SparkSession, d: String,
       broadcastMaxDocs: Long = VerifyBroadcastMaxDocs,
       pruneMaxDocs: Long = VerifyPruneMaxDocs): DataFrame = {
-    // The 16 minhashes are PRE-AGGREGATED columns of the shingle base
-    // since r19 (same min-of-murmur3-(value, seed) values the r9
-    // array_min/transform fold computed — see shingleSets) — reading
-    // them is a column projection, no per-pass 16-hash re-scan.
-    val mh = shingleSets(s, d).select(
-      col("doc_id") +: (0 until 16).map(i => col(s"mh_$i")): _*)
-    val bandStructs = (0 until 8).map(b =>
-      struct(lit(b).as("band"), col(s"mh_${2 * b}").as("h0"),
-        col(s"mh_${2 * b + 1}").as("h1")))
-    val bands = mh.select(col("doc_id"),
-        explode(array(bandStructs: _*)).as("bd"))
-      .select(col("doc_id"), col("bd.band").as("band"),
-        col("bd.h0").as("h0"), col("bd.h1").as("h1"))
+    val bands = minhashBands(s, d)
     // The candidate pair set is reused by every verify tier (and
     // three times on the pruned path), so it rides the session cache
     // — released with the rest of the dedup. group.
     val cand = graft.Cache.cached(s, d, "dedup.cand") {
+      val keyEq = (0 until MinhashRows)
+        .map(r => col(s"x.h$r") === col(s"y.h$r"))
+        .foldLeft(col("x.band") === col("y.band"))(_ && _)
       bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band")
-            && col("x.h0") === col("y.h0")
-            && col("x.h1") === col("y.h1")
-            && col("x.doc_id") < col("y.doc_id"))
+          keyEq && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
     }
