@@ -266,10 +266,21 @@ object EventOps {
       val bounds = graft.Cache.cached(s, d, "events.concBounds") {
         val sess = queries("stream_session")(s, d)
           .select("user_id", "t_start", "t_end")
-        sess.select(col("t_start").as("ts"), lit(1L).as("delta"),
+        // ONE sessionization pass (r19 optimization round): the
+        // union-of-two-selects form referenced `sess` twice, and the
+        // cache-build plan duplicated the ENTIRE sessionization
+        // subtree per branch (two events scans, two user_id
+        // exchanges, four windows — plans/r19/
+        // events_concurrency_before.txt; neither static ReuseExchange
+        // nor AQE collapses duplicated lineages, the round-8
+        // finding). Exploding each session row into its two boundary
+        // rows emits the identical row multiset from a single
+        // subtree.
+        sess.select(col("user_id"), explode(array(
+            struct(col("t_start").as("ts"), lit(1L).as("delta")),
+            struct(col("t_end").as("ts"), lit(-1L).as("delta")))).as("e"))
+          .select(col("e.ts").as("ts"), col("e.delta").as("delta"),
             col("user_id"))
-          .unionByName(sess.select(col("t_end").as("ts"),
-            lit(-1L).as("delta"), col("user_id")))
           .withColumn("day", to_date(col("ts")))
       }
       val wIntra = Window.partitionBy("day")

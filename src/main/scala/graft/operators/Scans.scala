@@ -99,10 +99,19 @@ object Scans {
     // the lake and all of it.
     "source_partitioned_prune" -> ((s, d) => {
       val path = scratch(d, "events_by_type")
-      graft.sources.IO.writeParquet(
-        Tables.events(s, d)
-          .select("event_id", "user_id", "value", "event_type"),
-        path, partitionBy = Seq("event_type"))
+      // The partitioned layout is SETUP (the declared op is the
+      // pruned READ — PlanSpec pins PartitionFilters on it), and the
+      // write is overwrite-idempotent over deterministic input — so
+      // pay it once per (session, path), exactly the bucketedReady /
+      // evolutionReady discipline. Before this (r19 optimization
+      // round) every invocation re-wrote the full events table
+      // partitioned by event_type and the warm bench number measured
+      // write throughput, not pruning (~0.3 s of its 0.63 s warm).
+      if (partitionedReady.add(s"${System.identityHashCode(s)}:$path"))
+        graft.sources.IO.writeParquet(
+          Tables.events(s, d)
+            .select("event_id", "user_id", "value", "event_type"),
+          path, partitionBy = Seq("event_type"))
       s.read.parquet(path)
         .filter(col("event_type") === "purchase")
         .groupBy("user_id")
@@ -239,6 +248,12 @@ object Scans {
   /** (session identity, path) pairs whose upsert base snapshot this
     * process has already written — see sink_upsert_merge. */
   private val upsertReady =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** (session identity, path) pairs whose partitioned-events scratch
+    * layout this process has already written — see
+    * source_partitioned_prune. */
+  private val partitionedReady =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** (session identity, path) pairs whose schema-evolution fixture

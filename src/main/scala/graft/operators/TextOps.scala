@@ -158,18 +158,29 @@ object TextOps {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val docs = Tables.documents(s, d)
         .withColumn("toks", size(split(col("text"), " ")).cast("long"))
-      val fps = docs.select(col("doc_id"), col("lang"), col("toks"),
-        graft.functions.GraftFunctions.rollingFingerprint(col("text"))
-          .as("fp"))
-      val collided = fps.groupBy("fp")
-        .agg(count(lit(1)).as("nfp"))
-        .filter(col("nfp") > 1)
-        .select("fp")
-      val singles = fps
-        .join(broadcast(collided), Seq("fp"), "left_anti")
-        .select("doc_id", "lang", "toks")
-      val collidedIds = fps.join(broadcast(collided), Seq("fp"))
-        .select("doc_id")
+      // ONE fp pass (r19 optimization round, same rewrite as
+      // dedup_exact_fingerprint — see its comment): the per-fp doc
+      // list rides one hash aggregate over narrow (fp, doc_id, lang,
+      // toks) rows instead of re-evaluating rollingFingerprint over
+      // the full corpus once per branch (the before plan evaluated it
+      // 4×; plans/r19/pipeline_corpus_prep_before.txt).
+      // Cached for the same two-consumer-lineage reason as
+      // dedup_exact_fingerprint's dedup.fpGroups (see its comment).
+      val groups = graft.Cache.cached(s, d, "pipeline.fpGroups") {
+        docs.select(col("doc_id"), col("lang"), col("toks"),
+            graft.functions.GraftFunctions.rollingFingerprint(col("text"))
+              .as("fp"))
+          .groupBy("fp")
+          .agg(collect_list(
+            struct(col("doc_id"), col("lang"), col("toks"))).as("ds"))
+      }
+      val singles = groups.filter(size(col("ds")) === 1)
+        .select(col("ds")(0).getField("doc_id").as("doc_id"),
+          col("ds")(0).getField("lang").as("lang"),
+          col("ds")(0).getField("toks").as("toks"))
+      val collidedIds = groups.filter(size(col("ds")) > 1)
+        .select(explode(col("ds")).as("x"))
+        .select(col("x").getField("doc_id").as("doc_id"))
       val verified = docs.join(broadcast(collidedIds), Seq("doc_id"))
         .groupBy("text")
         .agg(min("doc_id").as("doc_id"),

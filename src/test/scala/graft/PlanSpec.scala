@@ -102,15 +102,25 @@ class PlanSpec extends SparkSpec {
     assert(countOf(bp, "BroadcastHashJoin") >= 2)
   }
 
-  test("dedup_exact_fingerprint: collision verify joins broadcast") {
-    // The scale twin's contract: the main dedup shuffle carries only
-    // narrow (fp, doc_id, n_chars) rows; full texts re-group only for
-    // the tiny fp-collision set, reached via BROADCAST joins (the
-    // anti-join excluding singles + the id semi-join selecting the
-    // collided docs).
+  test("dedup_exact_fingerprint: ONE fp pass, collision verify joins" +
+      " broadcast") {
+    // The scale twin's contract since the r19 optimization round: the
+    // per-fp doc list rides ONE hash aggregate over narrow (fp,
+    // doc_id, n_chars) rows — rollingFingerprint is evaluated at a
+    // SINGLE projection site (the before shape re-evaluated it over
+    // the full corpus 4×: plans/r19/dedup_exact_fingerprint_before
+    // .txt) — and full texts re-group only for the tiny fp-collision
+    // set, reached via a BROADCAST id join.
     val p = plan("dedup_exact_fingerprint")
-    assert(countOf(p, "BroadcastHashJoin") >= 3)
+    assert(countOf(p, "BroadcastHashJoin") >= 1)
     assert(!p.contains("SortMergeJoin"))
+    // one Project computes the fp; the detail section mentions the
+    // expression once as "fingerprint_hash(text…) AS fp" — more AS
+    // sites means a branch re-derived it
+    assert(countOf(p, "fingerprint_hash") <= 2,
+      s"fingerprint_hash evaluated at >1 site:\n$p")
+    // exactly 2 corpus scans: the fp pass + the full-text verify
+    assert(countOf(p, "documents.parquet") == 2, p)
   }
 
   test("similarity_knn: brute force is BNLJ + TakeOrderedAndProject") {
