@@ -214,7 +214,7 @@ object GeoOps {
     // AQE's stage cache collapses duplicated lineages).
     "geo_co_presence" -> ((s, d) =>
       graft.Cache.cached(s, d, "geo.coPairs")(
-        coPresence(withPos(Tables.events(s, d)), cellDeg = 30.0))),
+        coPresenceFrom(cells30(s, d)))),
 
     // Convoy detection's core primitive — meeting STREAKS: for each
     // co-present vessel pair, the longest run of CONSECUTIVE meeting
@@ -229,7 +229,7 @@ object GeoOps {
     // pairs, and the (pair, island) agg + per-pair agg ride the same
     // exchange (pair ⊆ both key sets).
     "geo_meeting_streaks" -> ((s, d) =>
-      meetingStreaks(withPos(Tables.events(s, d)), cellDeg = 30.0)),
+      meetingStreaksFrom(cells30(s, d))),
 
     // Port-dwell accounting — time spent per (vessel, zone): each
     // report-to-report gap of ≤ 30 min (the voyage threshold — a
@@ -280,7 +280,7 @@ object GeoOps {
     // ids; everything after the co-presence pair set is integers.
     "geo_triangles" -> ((s, d) =>
       triangleCounts(graft.Cache.cached(s, d, "geo.coPairs")(
-        coPresence(withPos(Tables.events(s, d)), cellDeg = 30.0))
+        coPresenceFrom(cells30(s, d)))
         .select("u1", "u2"))),
 
     // The flagship domain output: the 20 busiest inter-zone lanes
@@ -924,12 +924,26 @@ object GeoOps {
   }
 
   private[operators] def coPresence(pos: DataFrame,
-      cellDeg: Double): DataFrame = {
-    val cells = presenceCells(pos, cellDeg)
-    val a = cells.select(col("user_id").as("u1"), col("zone"), col("hr"))
-    val b = cells.select(col("user_id").as("u2"), col("zone"), col("hr"))
-    a.join(b, Seq("zone", "hr"))
-      .filter(col("u1") < col("u2"))
+      cellDeg: Double): DataFrame =
+    coPresenceFrom(presenceCells(pos, cellDeg))
+
+  /** coPresence over an already-built (user_id, zone, hr) cells
+    * frame. Split out in the r19 optimization round so the declared
+    * queries can pass the SHARED cached cells ([[cells30]]): the
+    * un-persisted self-join duplicated the whole events-scan +
+    * distinct lineage per side — the before plan shows two scans and
+    * two distinct aggregates (plans/r19/geo_co_presence_before.txt).
+    * Both sides project EVERY column to side-unique names — the
+    * dedup_near ambiguous-self-join discipline (two projections of
+    * one cached frame must not rely on Spark's trivially-true
+    * predicate rescue). */
+  private[operators] def coPresenceFrom(cells: DataFrame): DataFrame = {
+    val a = cells.select(col("user_id").as("u1"), col("zone").as("z1"),
+      col("hr").as("hr1"))
+    val b = cells.select(col("user_id").as("u2"), col("zone").as("z2"),
+      col("hr").as("hr2"))
+    a.join(b, col("z1") === col("z2") && col("hr1") === col("hr2")
+        && col("u1") < col("u2"))
       .groupBy("u1", "u2")
       .agg(count(lit(1)).as("n_meet"))
       .orderBy("u1", "u2")
@@ -941,15 +955,22 @@ object GeoOps {
     * so the spec can prove the islanding on synthetic convoys — the
     * fixtures' sparse traffic never produces a multi-hour streak. */
   private[operators] def meetingStreaks(pos: DataFrame,
-      cellDeg: Double): DataFrame = {
+      cellDeg: Double): DataFrame =
+    meetingStreaksFrom(presenceCells(pos, cellDeg))
+
+  /** meetingStreaks over an already-built cells frame — split out for
+    * the same shared-cache reason as [[coPresenceFrom]] (this query's
+    * un-persisted self-join also ran the cells build twice). */
+  private[operators] def meetingStreaksFrom(cells: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cells = presenceCells(pos, cellDeg)
-    val a = cells.select(col("user_id").as("u1"), col("zone"), col("hr"))
-    val b = cells.select(col("user_id").as("u2"), col("zone"), col("hr"))
-    val meets = a.join(b, Seq("zone", "hr"))
-      .filter(col("u1") < col("u2"))
+    val a = cells.select(col("user_id").as("u1"), col("zone").as("z1"),
+      col("hr").as("hr1"))
+    val b = cells.select(col("user_id").as("u2"), col("zone").as("z2"),
+      col("hr").as("hr2"))
+    val meets = a.join(b, col("z1") === col("z2")
+        && col("hr1") === col("hr2") && col("u1") < col("u2"))
       .select(col("u1"), col("u2"),
-        expr("unix_micros(hr) div 3600000000").as("hidx"))
+        expr("unix_micros(hr1) div 3600000000").as("hidx"))
       .distinct()
     val w = Window.partitionBy("u1", "u2").orderBy("hidx")
     meets
@@ -972,6 +993,15 @@ object GeoOps {
     .withColumn("zone", Geo.gridCellId(col("lat"), col("lon"), cellDeg))
     .withColumn("hr", date_trunc("hour", col("ts")))
     .select("user_id", "zone", "hr").distinct()
+
+  /** The shared 30°-grid presence cells (the graded cellDeg),
+    * persisted per (session, dir): both sides of the co-presence and
+    * meeting-streak self-joins read it, across FOUR references in two
+    * queries (r19 optimization round — previously each side rebuilt
+    * the events-scan + distinct pipeline). */
+  private def cells30(s: SparkSession, d: String): DataFrame =
+    graft.Cache.cached(s, d, "geo.cells30")(
+      presenceCells(withPos(Tables.events(s, d)), cellDeg = 30.0))
 
   val oracles: Map[String, String] = Map(
     // Mirrors Geo.haversineKm / Geo.trackLength arithmetic exactly:

@@ -46,7 +46,18 @@ object TextOps {
       val toks = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val df = toks.groupBy("w").agg(countDistinct("doc_id").as("df"))
+      // df = docs containing the term. Since the r19 optimization
+      // round this dedups PER DOC, ROW-LOCALLY (array_distinct over
+      // the doc's own token array) and counts plain rows — the
+      // countDistinct(doc_id)-over-all-token-instances form shuffled
+      // the full token volume through a distinct expansion, and as a
+      // second consumer of `toks` it re-ran the corpus explode as a
+      // duplicated lineage anyway. One row per (doc, term) enters the
+      // partial agg, which collapses to ≤ vocabulary rows per map
+      // partition before the only exchange.
+      val df = docs
+        .select(explode(array_distinct(split(col("text"), " "))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       // The df side is VOCABULARY-sized — sublinear in the corpus but
       // far past broadcast range at 100 TB (Heaps' law puts a web
@@ -403,7 +414,19 @@ object TextOps {
       val tf = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // df derived independently of tf since the r19 optimization
+      // round (same rewrite as text_tfidf — see its comment): the
+      // tf.groupBy(term) form made df a second consumer of the tf
+      // lineage, and the plan re-scanned the corpus and re-ran the
+      // whole explode + (doc, term) aggregate for it
+      // (plans/r19/text_keywords_before.txt shows two documents
+      // scans and three exchanges feeding the join). Same value:
+      // rows of tf per term == docs containing the term ==
+      // array_distinct rows per term.
+      val df = Tables.documents(s, d)
+        .select(explode(array_distinct(split(col("text"), " ")))
+          .as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
       val w = W.partitionBy("doc_id")
         .orderBy(col("tf").desc, col("df").asc, col("term").asc)
       tf.join(df, "term")
