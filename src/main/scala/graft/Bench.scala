@@ -26,10 +26,17 @@ object Bench {
     "ann_ivf" -> Seq("sim.ivf"),
     "dedup_embed_ann" -> Seq("sim.lsh"),
     "dedup_near" -> Seq("dedup."),
+    // r19 optimization round: caches BUILT after their family's
+    // release point (sorted order) get their own release entries so
+    // persisted blocks never outlive their last consumer.
+    "dedup_paragraphs" -> Seq("dedup.paraChunks"),
+    "dedup_simhash" -> Seq("dedup.simSigs"),
     "events_concurrency" -> Seq("events."),
     "geo_zone_rank" -> Seq("geo."),
     "pipeline_corpus_prep" -> Seq("pipeline."),
+    "pipeline_shard_manifest" -> Seq("pipeline."),
     "text_contamination" -> Seq("text."),
+    "text_pack_bins" -> Seq("text.packIntra"),
     "similarity_topk_per_query" -> Seq(""))
 
   /** 1-minute load average — ambient-load evidence for the artifact.

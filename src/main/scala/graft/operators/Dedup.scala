@@ -250,17 +250,29 @@ object Dedup {
     // result is string-exact and matches the plain-string oracle).
     "dedup_paragraphs" -> ((s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
-      val ch = Tables.documents(s, d)
-        .withColumn("ws", split(col("text"), " "))
-        .withColumn("nch", expr("size(ws) div 10"))
-        .filter(col("nch") > 0)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, nch)," +
-            " i -> array_join(slice(ws, (i - 1) * 10 + 1, 10), ' '))"))
-          .as("chunk"))
-      val fps = ch.select(col("doc_id"), col("chunk"),
-        graft.functions.GraftFunctions.rollingFingerprint(col("chunk"))
-          .as("fp"))
+      // The chunk frame is PERSISTED (r19 optimization round): four
+      // consumers read it (candidate agg, candidate-instance join,
+      // boiler recount via candInst, per-doc totals), and the
+      // un-persisted lineage re-ran the chunk explode +
+      // rollingFingerprint per consumer — the before plan shows FIVE
+      // documents scans (plans/r19/dedup_paragraphs_before.txt).
+      // Chunk strings live in the cache but still never cross an
+      // exchange: the corpus-wide frequency shuffle stays keyed on
+      // (fp, doc_id), candidate instances reach the recount through
+      // broadcast joins — the scale shape is unchanged.
+      val fps = graft.Cache.cached(s, d, "dedup.paraChunks") {
+        Tables.documents(s, d)
+          .withColumn("ws", split(col("text"), " "))
+          .withColumn("nch", expr("size(ws) div 10"))
+          .filter(col("nch") > 0)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, nch)," +
+              " i -> array_join(slice(ws, (i - 1) * 10 + 1, 10), ' '))"))
+            .as("chunk"))
+          .withColumn("fp",
+            graft.functions.GraftFunctions.rollingFingerprint(
+              col("chunk")))
+      }
       // narrow (fp, doc_id) shuffle; candidates = fps seen in >1 doc
       val cand = fps.select("fp", "doc_id").groupBy("fp")
         .agg(countDistinct("doc_id").as("ndf"))
@@ -273,7 +285,7 @@ object Dedup {
         .filter(col("nd") > 1).select("chunk")
       val perDocBoiler = candInst.join(broadcast(boiler), "chunk")
         .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
-      ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      fps.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
         .join(perDocBoiler, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_chunks"),
           coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
@@ -312,7 +324,13 @@ object Dedup {
     // (round 9) — the explode + twin-aggregate form ([[simhash]])
     // stays as the executable spec.
     "dedup_simhash" -> ((s, d) => {
-      val sigs = simhashNative(s, Tables.documents(s, d))
+      // Persisted (r19 optimization round): the chunk self-join
+      // references the signature frame on both sides, and the
+      // un-persisted lineage ran the SimHash64 text kernel over the
+      // full corpus TWICE (plans/r19/dedup_simhash_before.txt shows
+      // two documents scans). The frame is two longs per doc.
+      val sigs = graft.Cache.cached(s, d, "dedup.simSigs")(
+        simhashNative(s, Tables.documents(s, d)))
       val chunks = sigs.select(col("doc_id"), col("sig"),
           explode(expr("transform(sequence(0, 3)," +
             " c -> struct(c AS c, shiftright(sig, c * 16) & 65535 AS v))"))

@@ -308,17 +308,27 @@ object EventOps {
     // rows and an EQUI join against observed days, instead of the
     // days × rows range-predicate nested loop.
     "events_dau_wau" -> ((s, d) => {
-      val days = Tables.events(s, d)
-        .select(to_date(col("ts")).as("day"), col("user_id"))
+      // ONE aggregation since the r19 optimization round. The
+      // dau-then-wau-then-join form made `days` and `dau` each feed
+      // two consumers, so the plan re-ran the distinct-days pipeline
+      // and the dau aggregate as duplicated lineages (3 events scans,
+      // 7 exchanges — plans/r19/events_dau_wau_before.txt). Here each
+      // active (day, user) row still explodes to the 7 anchors it can
+      // serve, carrying its own day d0; one aggregate then computes
+      // dau (distinct users whose d0 IS the anchor) and wau (distinct
+      // users in the trailing window) together, and `dau > 0` is
+      // exactly the old join-with-observed-days horizon prune (every
+      // observed day has ≥ 1 active user by construction).
+      Tables.events(s, d)
+        .select(to_date(col("ts")).as("d0"), col("user_id"))
         .distinct()
-      val dau = days.groupBy("day").agg(countDistinct("user_id").as("dau"))
-      val wau = days
-        .select(explode(expr(
-          "transform(sequence(0, 6), k -> date_add(day, k))"))
-          .as("day"), col("user_id"))
-        .join(dau.select("day"), "day") // prune anchors past the horizon
-        .groupBy("day").agg(countDistinct("user_id").as("wau"))
-      dau.join(wau, "day")
+        .select(col("user_id"), col("d0"), explode(expr(
+          "transform(sequence(0, 6), k -> date_add(d0, k))")).as("day"))
+        .groupBy("day")
+        .agg(countDistinct(when(col("d0") === col("day"),
+          col("user_id"))).as("dau"),
+          countDistinct("user_id").as("wau"))
+        .filter(col("dau") > 0)
         .select(col("day"), col("dau"), col("wau"),
           (col("dau").cast("double") / col("wau")).as("stickiness"))
         .orderBy("day")

@@ -149,7 +149,9 @@ object TextOps {
     "text_pack_bins" -> ((s, d) =>
       packBins(Tables.documents(s, d)
         .withColumn("toks", size(split(col("text"), " ")).cast("long"))
-        .select("lang", "doc_id", "toks"))),
+        .select("lang", "doc_id", "toks"),
+        persistIntra =
+          df => graft.Cache.cached(s, d, "text.packIntra")(df))),
 
     // End-to-end corpus preparation — the LLM-training-data pipeline
     // as ONE declared composite: exact-dedup survivors (min doc_id
@@ -206,7 +208,9 @@ object TextOps {
       // runs once and only narrow (doc_id, lang, toks) triples are
       // ever re-read.
       packBins(graft.Cache.cached(s, d, "pipeline.corpusKept")(
-        singles.unionByName(verified).filter(col("toks") >= 15)))
+        singles.unionByName(verified).filter(col("toks") >= 15)),
+        persistIntra =
+          df => graft.Cache.cached(s, d, "pipeline.packIntra")(df))
     }),
 
     // Edit distance along the per-lang doc_id chain: levenshtein
@@ -383,13 +387,21 @@ object TextOps {
     "pipeline_shard_manifest" -> ((s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val docs = Tables.documents(s, d)
+      // fp rides packAssign as a PASSENGER column (r19 optimization
+      // round): the separate fps frame + doc_id join re-scanned the
+      // corpus a third time — the before plan shows 3 documents scans
+      // (plans/r19/pipeline_shard_manifest_before.txt, captured from
+      // the audit dump). The offsets subtree prunes fp, so
+      // rollingFingerprint is evaluated exactly once, map-side in the
+      // single pack scan.
       val assign = packAssign(docs
         .withColumn("toks", size(split(col("text"), " ")).cast("long"))
-        .select("lang", "doc_id", "toks"))
-      val fps = docs.select(col("doc_id"),
-        graft.functions.GraftFunctions.rollingFingerprint(col("text"))
-          .as("fp"))
-      assign.join(fps, "doc_id")
+        .select(col("lang"), col("doc_id"), col("toks"),
+          graft.functions.GraftFunctions.rollingFingerprint(col("text"))
+            .as("fp")),
+        persistIntra =
+          df => graft.Cache.cached(s, d, "pipeline.smIntra")(df))
+      assign
         .groupBy("lang", "bin")
         .agg(count(lit(1)).as("n_docs"),
           min("doc_id").as("first_doc"),
@@ -582,18 +594,31 @@ object TextOps {
     * [[packBins]]' body up to the shard aggregate, split out so
     * pipeline_shard_manifest can join per-doc metadata (fingerprints)
     * onto the same assignment. */
+  /** Two-phase pack assignment. `persistIntra` (r19 optimization
+    * round) lets declared call sites persist the phase-1 frame via
+    * [[graft.Cache]]: the offsets branch and the final join BOTH read
+    * `withIntra`, and an un-persisted two-consumer lineage re-runs
+    * the entire input scan + intra window per consumer (the round-8
+    * ReuseExchange finding; plans/r19/pipeline_shard_manifest_before
+    * .txt shows the duplicate). Default identity keeps the helper
+    * pure for specs. Passenger columns on `kept` beyond (lang,
+    * doc_id, toks) ride through to the output unchanged — the
+    * offsets subtree prunes them, so they are computed once. */
   private[operators] def packAssign(
       kept: org.apache.spark.sql.DataFrame,
       bucketSize: Long = 1024L,
-      budget: Long = 4096L): org.apache.spark.sql.DataFrame = {
+      budget: Long = 4096L,
+      persistIntra: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame = identity)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bucketed = kept.withColumn("bkt", expr(s"doc_id div $bucketSize"))
     val wIntra = Window.partitionBy("lang", "bkt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wOffset = Window.partitionBy("lang").orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val withIntra = bucketed
-      .withColumn("intra", sum("toks").over(wIntra) - col("toks"))
+    val withIntra = persistIntra(bucketed
+      .withColumn("intra", sum("toks").over(wIntra) - col("toks")))
     val offsets = withIntra.groupBy("lang", "bkt")
       .agg(max(col("intra") + col("toks")).as("bkt_total"))
       .withColumn("offset",
@@ -603,14 +628,17 @@ object TextOps {
       .join(broadcast(offsets), Seq("lang", "bkt"))
       .withColumn("prefix", col("offset") + col("intra"))
       .withColumn("bin", expr(s"prefix div $budget"))
-      .select("lang", "doc_id", "toks", "bin")
+      .drop("bkt", "intra", "offset", "prefix")
   }
 
   private[operators] def packBins(
       kept: org.apache.spark.sql.DataFrame,
       bucketSize: Long = 1024L,
-      budget: Long = 4096L): org.apache.spark.sql.DataFrame =
-    packAssign(kept, bucketSize, budget)
+      budget: Long = 4096L,
+      persistIntra: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame = identity)
+      : org.apache.spark.sql.DataFrame =
+    packAssign(kept, bucketSize, budget, persistIntra)
       .groupBy("lang", "bin")
       .agg(count(lit(1)).as("n_docs"),
         sum("toks").as("bin_tokens"),
