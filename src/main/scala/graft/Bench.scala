@@ -22,7 +22,7 @@ object Bench {
     * iteration order), the named [[Cache]] prefixes have no further
     * consumers. "" = everything (sim.vecs / sim.halfPairs live until
     * the last similarity query). */
-  private val releaseAfter: Map[String, Seq[String]] = Map(
+  private[graft] val releaseAfter: Map[String, Seq[String]] = Map(
     "ann_ivf" -> Seq("sim.ivf"),
     "dedup_embed_ann" -> Seq("sim.lsh"),
     "dedup_near" -> Seq("dedup."),

@@ -210,20 +210,19 @@ object EventOps {
 
     // Cohort retention: users grouped by first-activity day, distinct
     // actives per (cohort, day-offset) — the engagement matrix every
-    // analytics stack computes. Shape: the cohort frame and the join
-    // both hash on user_id (one key, two exchanges — the groupBy's
-    // partitioning feeds the join side directly), then one agg on the
-    // SMALL (cohort_day, offset) key — days², not users. The join is
-    // left UNHINTED: the cohort side is |users|-sized, which is NOT
-    // broadcastable at scale; AQE picks BHJ at test SFs and degrades
-    // to a co-partitioned shuffled join beyond. Integer dates / day
-    // arithmetic only — no float hazard anywhere.
+    // analytics stack computes. Shape (r19 optimization round): the
+    // cohort day is a min-over-the-user-partition WINDOW — ONE events
+    // scan and ONE user_id exchange feed everything. The previous
+    // groupBy-then-join form made `ev` a two-consumer lineage, so the
+    // plan scanned events twice and paid a second exchange for the
+    // join (plans/r19/events_retention_before.txt). Then one agg on
+    // the SMALL (cohort_day, offset) key — days², not users. Integer
+    // dates / day arithmetic only — no float hazard anywhere.
     "events_retention" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val cohorts = ev.groupBy("user_id")
-        .agg(min(to_date(col("ts"))).as("cohort_day"))
-      ev.select(col("user_id"), to_date(col("ts")).as("day"))
-        .join(cohorts, "user_id")
+      val wUser = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .withColumn("cohort_day", min("day").over(wUser))
         .groupBy(col("cohort_day"),
           datediff(col("day"), col("cohort_day")).as("day_offset"))
         .agg(countDistinct("user_id").as("n_users"))
@@ -238,13 +237,20 @@ object EventOps {
     // DuckDB's 0 = Sunday — normalized to the 0-origin here, the
     // date_funcs convention (SURVEY §2.0 hazard). One partial+final
     // aggregate on a 168-cell key + a broadcast 1-row total.
+    // (r19 optimization round) The total is a PROVABLY-BOUNDED global
+    // window over the ≤ 168 aggregated cells — the separate agg +
+    // crossJoin(broadcast) made `cells` a two-consumer lineage and
+    // re-ran the full events aggregate for the 1-row total; same
+    // bounded-global-window class as the events_concurrency day
+    // offsets.
     "events_seasonality" -> ((s, d) => {
-      val cells = Tables.events(s, d)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
         .groupBy((dayofweek(col("ts")) - 1).as("dow"),
           hour(col("ts")).as("hod"))
         .agg(count(lit(1)).as("n"))
-      val tot = cells.agg(sum("n").as("total"))
-      cells.crossJoin(broadcast(tot))
+        .withColumn("total", sum("n").over(wAll))
         .select(col("dow"), col("hod"), col("n"),
           expr("(1000000 * n) div total").as("share_ppm"))
         .orderBy("dow", "hod")
@@ -361,17 +367,25 @@ object EventOps {
     // arithmetic end to end (`div` to seconds); one per-user agg, a
     // user-keyed join, a second per-user agg — all on the user_id
     // key.
+    // (r19 optimization round) The first-view time is a
+    // min-over-the-user-partition WINDOW on the purchase/view rows —
+    // ONE events scan and ONE user_id exchange replace the old
+    // aggregate-then-join form, whose two references to `ev` scanned
+    // events twice. The pre-window filter keeps only the two event
+    // types either side reads, so the window input stays a subset of
+    // the old scan volume.
     "events_conversion_lag" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val fv = ev.filter(col("event_type") === "view")
+      val wUser = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"))
+        .withColumn("fv", min(when(col("event_type") === "view",
+          col("t"))).over(wUser))
+        .filter(col("event_type") === "purchase"
+          && col("fv").isNotNull && col("t") > col("fv"))
         .groupBy("user_id")
-        .agg(min(unix_micros(col("ts"))).as("fv"))
-      ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), unix_micros(col("ts")).as("pt"))
-        .join(fv, "user_id")
-        .filter(col("pt") > col("fv"))
-        .groupBy("user_id")
-        .agg(min("pt").as("fp"), min("fv").as("fvv"))
+        .agg(min("t").as("fp"), min("fv").as("fvv"))
         .select(col("user_id"), expr("(fp - fvv) div 1000000").as("lag_s"))
         .orderBy("user_id")
     })

@@ -515,14 +515,21 @@ object TextOps {
     * a rounded value cannot reveal its own tie. */
   private[operators] def mixtureFrame(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val dom = docs
+    // Totals are a PROVABLY-BOUNDED global window over the domain
+    // aggregate (|langs|·|sources| rows) — the separate agg +
+    // crossJoin(broadcast) form made `dom` a two-consumer lineage and
+    // re-ran the corpus aggregate for the 1-row total (r19
+    // optimization round; same class as events_seasonality's total).
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    docs
       .select(col("lang"), col("source"),
         size(split(col("text"), " ")).cast("long").as("toks"))
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens"))
-    val tot = dom.agg(sum("tokens").as("total_tokens"),
-      count(lit(1)).as("n_domains"))
-    dom.crossJoin(broadcast(tot))
+      .withColumn("total_tokens", sum("tokens").over(wAll))
+      .withColumn("n_domains", count(lit(1)).over(wAll))
       .select(col("lang"), col("source"), col("n_docs"), col("tokens"),
         (col("tokens").cast("double") / col("total_tokens"))
           .as("share_raw"),

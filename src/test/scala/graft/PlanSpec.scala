@@ -237,13 +237,18 @@ class PlanSpec extends SparkSpec {
     assert(countOf(plan("agg_histogram"), "HashAggregate") >= 2)
   }
 
-  test("pipeline_mixture_weights: one domain agg + broadcast totals") {
-    // The 1-row totals frame must come back via BroadcastExchange —
-    // a shuffle join against a 1-row side would serialize the domain
-    // frame for nothing.
+  test("pipeline_mixture_weights: ONE domain agg, window totals, no" +
+      " second corpus pass") {
+    // Since the r19 optimization round the totals are a bounded
+    // global window over the domain aggregate (|langs|·|sources|
+    // rows) — the old agg + crossJoin(broadcast) made the domain
+    // frame a two-consumer lineage and re-ran the corpus aggregate
+    // for the 1-row total. Exactly one documents scan and one
+    // Window, no join of any kind.
     val p = plan("pipeline_mixture_weights")
-    assert(p.contains("BroadcastExchange"))
-    assert(countOf(p, "HashAggregate") >= 2)
+    assert(countOf(p, "documents.parquet") == 1, p)
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"), p)
   }
 
   test("text_postings: sample window caps state before any collect") {
