@@ -232,16 +232,30 @@ object Bench {
       s""""rep2":${json(rep2)},""" + tailFields
     val fullPath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL.json")
-    try {
-      val w = new java.io.PrintWriter(fullPath)
-      try w.println(fullLine) finally w.close()
-    } catch {
-      // A silently-missing sidecar downgrades check.py to its weakest
-      // fallback with no signal anywhere — make the failure cost one
-      // visible stderr line in the bench log.
-      case t: Throwable => System.err.println(
-        s"Bench: sidecar write to $fullPath FAILED (${t.getClass.getSimpleName}: " +
-          s"${t.getMessage}) — BENCH_FULL will be absent for this run")
+    // Collision-proofing (r19 verdict): the driver benches the same
+    // round at MORE THAN ONE core count and each run overwrote the
+    // single default sidecar — the r19 32-core per-query map was
+    // destroyed by the 8-core run and PERF could rank nothing
+    // (n_common: 0). A second, run-shape-suffixed copy
+    // (BENCH_FULL_c{cpus}.json) is written alongside, so no run can
+    // clobber another shape's evidence; the printed-line contract
+    // and the default sidecar path are unchanged.
+    val shapePath =
+      if (fullPath.endsWith(".json"))
+        fullPath.stripSuffix(".json") + s"_c$cpus.json"
+      else fullPath + s"_c$cpus"
+    Seq(fullPath, shapePath).foreach { p =>
+      try {
+        val w = new java.io.PrintWriter(p)
+        try w.println(fullLine) finally w.close()
+      } catch {
+        // A silently-missing sidecar downgrades check.py to its weakest
+        // fallback with no signal anywhere — make the failure cost one
+        // visible stderr line in the bench log.
+        case t: Throwable => System.err.println(
+          s"Bench: sidecar write to $p FAILED (${t.getClass.getSimpleName}: " +
+            s"${t.getMessage}) — this sidecar will be absent for this run")
+      }
     }
     spark.stop()
   }

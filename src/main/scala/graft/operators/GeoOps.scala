@@ -391,9 +391,6 @@ object GeoOps {
   private[graft] def odMatrixBuild(s: SparkSession, d: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val voyFrame = Window.partitionBy("user_id", "voyage")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       withPos(Tables.events(s, d))
         .withColumn("zone", Geo.gridCell(col("lat"), col("lon"), odCellDeg))
         .withColumn("gap_us",
@@ -402,10 +399,25 @@ object GeoOps {
           when(col("gap_us").isNull
             || col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
         .withColumn("voyage", sum("is_new").over(byUser))
-        .withColumn("o_zone", first("zone").over(voyFrame))
-        .withColumn("d_zone", last("zone").over(voyFrame))
-        .groupBy("user_id", "voyage", "o_zone", "d_zone")
-        .agg(count(lit(1)).as("n_points"))
+        // Voyage-endpoint flags ride the SAME byUser window (same
+        // partition + order ⇒ no new exchange, no new sort): the
+        // cumsum construction gives every voyage exactly one row with
+        // is_new = 1 (its first) and exactly one row whose successor
+        // starts a new voyage or doesn't exist (its last, ends = 1 via
+        // lead's default). Filtering to those ≤ 2 rows per voyage
+        // BEFORE the endpoint aggregate replaces the old unbounded
+        // first/last window — whose plan cost was a SECOND full sort
+        // of every sessionized event row plus a (user, voyage, o, d)
+        // dedup aggregate — with an aggregate over O(voyages) rows
+        // (guide §2.4: don't re-sort what one pass already ordered).
+        // Equivalence: event_id is unique, so first/last over the
+        // (ts, event_id) order selected exactly these rows.
+        .withColumn("ends", lead(col("is_new"), 1, 1L).over(byUser))
+        .filter(col("is_new") === 1 || col("ends") === 1)
+        .groupBy("user_id", "voyage")
+        .agg(
+          max(when(col("is_new") === 1, col("zone"))).as("o_zone"),
+          max(when(col("ends") === 1, col("zone"))).as("d_zone"))
         .groupBy("o_zone", "d_zone")
         .agg(count(lit(1)).as("n_voyages"),
           countDistinct("user_id").as("n_vessels"))

@@ -742,7 +742,19 @@ object TextOps {
     * ~4x the corpus text and the single biggest shuffle in the text
     * family; this form's remaining shuffles are the narrow per-doc
     * count aggregates and the rare matched rows
-    * (ShuffleVolumeSpec pins the ceiling). */
+    * (ShuffleVolumeSpec pins the ceiling).
+    *
+    * HASH-NARROWED (r20, guide §2.3 "narrower types"): each shingle
+    * is a 64-bit xxhash64 over its five words (word boundaries
+    * preserved — the multi-arg form chains per argument, so "ab"+"c"
+    * and "a"+"bc" differ), never a materialized 5-word string. The
+    * per-doc array_distinct, the cached frame, the broadcast
+    * bench-side hashmap and the countDistinct all operate on longs
+    * instead of ~30-byte strings — the same discipline dedup's
+    * shingle base adopted in r14. Overlap semantics are unchanged
+    * unless two DIFFERENT 5-grams collide in 64 bits (~n²/2⁶⁵;
+    * ~4e-9 at the sf0.1 shingle count), the accepted tradeoff the
+    * dedup family already documents. */
   private[operators] def shingles5(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
@@ -750,7 +762,7 @@ object TextOps {
       .filter(size(col("ws")) >= 5)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(slice(ws, 1, size(ws) - 4)," +
-          " (w, i) -> concat_ws(' ', w, element_at(ws, i + 2)," +
+          " (w, i) -> xxhash64(w, element_at(ws, i + 2)," +
           " element_at(ws, i + 3), element_at(ws, i + 4)," +
           " element_at(ws, i + 5))))")).as("sh"))
 

@@ -296,6 +296,29 @@ class PlanSpec extends SparkSpec {
     assert(plan("geo_od_matrix").contains("InMemoryTableScan"))
   }
 
+  test("geo_od_matrix build: voyage endpoints come from flags, not a" +
+      " second full-width sort") {
+    // r20 rewrite: o/d zones used to be an unbounded first/last window
+    // over (user_id, voyage) — a SECOND full sort of every sessionized
+    // event plus a 4-key dedup aggregate. They now come from
+    // is_new/lead endpoint flags filtered to ≤ 2 rows per voyage
+    // before the aggregate. The regression signature is the unbounded-
+    // following frame (only that window used one); its absence pins
+    // the rewrite without matching brittle expression ids.
+    graft.Cache.clear(spark, "geo.od")
+    val raw = operators.GeoOps
+      .odMatrixBuild(spark, SparkSpec.sf001)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!raw.contains("unboundedfollowing"),
+      "the endpoint first/last window is back — a second full-width " +
+        "sort of the sessionized events at scale")
+    // both surviving window functions (lag gap + cumsum voyage + lead
+    // endpoint flag) must share the ONE byUser sort: exactly one Sort
+    // node may sit below a Window node
+    val windowSorts = raw.linesIterator.count(_.trim.matches("\\(\\d+\\) Window"))
+    assert(windowSorts <= 2, s"window chain split: $windowSorts Window nodes")
+  }
+
   test("events_anomaly_mad: both median windows share ONE user exchange") {
     // 1 hash (user_id — both percentile windows) + 1 range (final
     // sort); a third exchange means the second window re-shuffled

@@ -168,6 +168,25 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("shingles5: shingles are 64-bit hashes with word boundaries" +
+      " preserved — never materialized strings") {
+    val s = spark; import s.implicits._
+    // r20 hash-narrowing pin: the cached/broadcast/aggregated shingle
+    // column must stay a LONG (a regression back to concat_ws strings
+    // re-widens every downstream buffer ~4x), and the multi-arg
+    // xxhash64 must keep word boundaries — "aa b c d e" vs
+    // "a ab c d e" concatenate identically with a joiner collision
+    // but must hash apart.
+    val docs = Seq(
+      (1L, "aa b c d e"),
+      (2L, "a ab c d e")).toDF("doc_id", "text")
+    val sh = TextOps.shingles5(docs)
+    assert(sh.schema("sh").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(sh.select("sh").distinct().count() == 2L,
+      "two different 5-grams hashed together — word boundaries lost")
+  }
+
   test("text_contamination: only true 5-gram sharers flag; short docs gate") {
     val s = spark; import s.implicits._
     // bench doc 0 (id % 5 == 0); doc 6 embeds one of its 5-grams, doc 7
